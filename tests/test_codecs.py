@@ -1,0 +1,76 @@
+"""Round-trip property tests for the Gorilla / delta-of-delta codecs.
+
+Reference analog: the engine stores tier points as compressed blobs
+(BASELINE.json north rule); encode∘decode must be the identity at the
+bit level, including NaN/±0/inf payloads (SURVEY.md §7.4.5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ts_process_spark.functions.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+
+
+def _roundtrip_f64(v: np.ndarray, optimal: bool) -> None:
+    dec = decode_gorilla(encode_gorilla(v, optimal=optimal))
+    assert v.view(np.uint64).tolist() == dec.view(np.uint64).tolist()
+
+
+@pytest.mark.parametrize("optimal", [False, True])
+def test_gorilla_empty_and_single(optimal):
+    _roundtrip_f64(np.array([], dtype=np.float64), optimal)
+    _roundtrip_f64(np.array([3.14159]), optimal)
+
+
+@pytest.mark.parametrize("optimal", [False, True])
+def test_gorilla_specials(optimal):
+    v = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1.0, 1.0, -1.0, 5e-324])
+    _roundtrip_f64(v, optimal)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=200
+    ),
+    st.booleans(),
+)
+def test_gorilla_property(vals, optimal):
+    _roundtrip_f64(np.array(vals, dtype=np.float64), optimal)
+
+
+def test_gorilla_compresses_repeats():
+    v = np.repeat(np.round(np.sin(np.arange(200) * 0.01) * 100, 1), 5)
+    assert len(encode_gorilla(v)) < 0.35 * 8 * len(v)
+
+
+def test_dod_empty_single_pair():
+    for ts in ([], [1_700_000_000_000_000], [1, 2]):
+        a = np.array(ts, dtype=np.int64)
+        assert np.array_equal(decode_dod(encode_dod(a)), a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=0, max_size=200
+    )
+)
+def test_dod_property(gaps):
+    ts = np.cumsum(np.array([1_700_000_000_000_000] + gaps, dtype=np.int64))
+    assert np.array_equal(decode_dod(encode_dod(ts)), ts)
+
+
+def test_dod_regular_cadence_tiny():
+    ts = (1_700_000_000_000_000 + np.arange(5000) * 60_000_000).astype(np.int64)
+    enc = encode_dod(ts)
+    assert np.array_equal(decode_dod(enc), ts)
+    assert len(enc) < 0.05 * 8 * len(ts)  # near-constant cadence ≈ 1 bit/point

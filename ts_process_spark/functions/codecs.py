@@ -1,0 +1,306 @@
+"""Gorilla-style time-series compression codecs in pure NumPy.
+
+Two lossless codecs (public algorithm: Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015):
+
+- ``encode_dod`` / ``decode_dod``: delta-of-delta for int64 microsecond
+  timestamps.  Variable-width buckets extended for µs resolution
+  (the paper's buckets assume seconds): 0 bits, 7, 9, 12, 32, 64 —
+  delta-of-deltas are zigzag-encoded so negative gaps pack tight.
+- ``encode_gorilla`` / ``decode_gorilla``: XOR float64 compression —
+  '0' for identical value, '10' + meaningful bits when they fit the
+  previous leading/length window, '11' + 5-bit leading + 6-bit length +
+  bits otherwise.
+
+Encoding is fully vectorized (the variable-length codes are expanded with
+a repeat/cumsum bit-scatter, then ``np.packbits``) — no per-element
+Python on the encode path, which is the hot path in the tier cascade.
+Decoding walks elements (not bits) over a pre-unpacked bit array; blobs
+are per-(conv, bucket) so the loop is bounded by bucket size.
+
+Round-trip bit-equality is property-tested in tests/test_codecs.py; the
+tier tables keep checked aggregate columns *alongside* blobs so tier
+verification never depends on codec correctness (SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------- bits
+
+
+def _bit_scatter(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Expand variable-length big-endian codes into a flat bit array.
+
+    vals[i] is emitted as lens[i] bits (MSB first). Fully vectorized.
+    """
+    vals = vals.astype(np.uint64)
+    lens = lens.astype(np.int64)
+    keep = lens > 0
+    vals, lens = vals[keep], lens[keep]
+    if len(vals) == 0:
+        return np.zeros(0, dtype=np.uint8)
+    total = int(lens.sum())
+    seg_id = np.repeat(np.arange(len(vals)), lens)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    j = np.arange(total) - offsets[seg_id]
+    shift = (lens[seg_id] - 1 - j).astype(np.uint64)
+    return ((vals[seg_id] >> shift) & np.uint64(1)).astype(np.uint8)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (no float round-trip)."""
+    x = x.astype(np.uint64).copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    return 64 - _popcount64(x)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (64 where x == 0)."""
+    x = x.astype(np.uint64)
+    isolated = x & (~x + np.uint64(1))
+    return np.where(x == 0, 64, _popcount64(isolated - np.uint64(1))).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    b = np.frombuffer(np.ascontiguousarray(x, dtype=np.uint64).tobytes(), dtype=np.uint8)
+    return np.unpackbits(b).reshape(-1, 8).sum(axis=1).reshape(-1, 8).sum(axis=1)
+
+
+def _pack(bits: np.ndarray, n_items: int) -> bytes:
+    return struct.pack("<I", n_items) + np.packbits(bits).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, buf: bytes, offset_bytes: int):
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=offset_bytes))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        chunk = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        if n > 8:
+            padded = np.zeros(((n + 7) // 8) * 8, dtype=np.uint8)
+            padded[-n:] = chunk
+            return int.from_bytes(np.packbits(padded).tobytes(), "big")
+        v = 0
+        for b in chunk:
+            v = (v << 1) | int(b)
+        return v
+
+
+# ------------------------------------------------------------ delta-of-delta
+
+_DOD_BUCKETS = (  # (control value, control bits, payload bits)
+    (0b10, 2, 7),
+    (0b110, 3, 9),
+    (0b1110, 4, 12),
+    (0b11110, 5, 32),
+    (0b11111, 5, 64),
+)
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    return ((x << 1) ^ (x >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def encode_dod(ts_us: np.ndarray) -> bytes:
+    """int64 µs timestamps → bytes. Layout: [n:uint32][ts0:64][d0 zigzag:64][codes]."""
+    ts = np.asarray(ts_us, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return _pack(np.zeros(0, np.uint8), 0)
+    head_vals = [np.uint64(ts[0])]
+    head_lens = [64]
+    if n >= 2:
+        d0 = ts[1] - ts[0]
+        head_vals.append(_zigzag(np.array([d0], np.int64))[0])
+        head_lens.append(64)
+    vals: list[np.ndarray] = [np.array(head_vals, np.uint64)]
+    lens: list[np.ndarray] = [np.array(head_lens, np.int64)]
+    if n >= 3:
+        deltas = np.diff(ts)
+        dod = deltas[1:] - deltas[:-1]
+        zz = _zigzag(dod)
+        m = len(dod)
+        ctrl_v = np.zeros(m, np.uint64)
+        ctrl_l = np.zeros(m, np.int64)
+        pay_l = np.zeros(m, np.int64)
+        done = dod == 0
+        ctrl_l[done] = 1  # control '0', no payload
+        for cv, cl, pl in _DOD_BUCKETS:
+            fits = (~done) & (zz < (np.uint64(1) << np.uint64(pl)) if pl < 64 else ~done)
+            ctrl_v[fits] = cv
+            ctrl_l[fits] = cl
+            pay_l[fits] = pl
+            done |= fits
+        inter = np.empty(2 * m, np.uint64)
+        inter[0::2] = ctrl_v
+        inter[1::2] = zz
+        inter_l = np.empty(2 * m, np.int64)
+        inter_l[0::2] = ctrl_l
+        inter_l[1::2] = pay_l
+        vals.append(inter)
+        lens.append(inter_l)
+    bits = _bit_scatter(np.concatenate(vals), np.concatenate(lens))
+    return _pack(bits, n)
+
+
+def decode_dod(buf: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+
+    def _wrap(x: int) -> int:  # two's-complement int64 wrap, mirrors encode's
+        x &= 0xFFFFFFFFFFFFFFFF  # np.diff int64 overflow semantics
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    r = _BitReader(buf, 4)
+    cur = _wrap(r.read(64))
+    out[0] = cur
+    if n == 1:
+        return out
+    delta = _unzigzag(r.read(64))
+    cur = _wrap(cur + delta)
+    out[1] = cur
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            # control prefix is '1'-runs terminated by '0' (max 5 bits total)
+            prefix = 1
+            nread = 1
+            while nread < 5:
+                b = r.read(1)
+                nread += 1
+                prefix = (prefix << 1) | b
+                if b == 0 or nread == 5:
+                    break
+            width = {0b10: 7, 0b110: 9, 0b1110: 12, 0b11110: 32, 0b11111: 64}[prefix]
+            dod = _unzigzag(r.read(width))
+        delta = _wrap(delta + dod)
+        cur = _wrap(cur + delta)
+        out[i] = cur
+    return out
+
+
+# ------------------------------------------------------------------- gorilla
+
+
+def encode_gorilla(values: np.ndarray, optimal: bool = False) -> bytes:
+    """float64 array → bytes. Layout: [n:uint32][v0:64][codes].
+
+    ``optimal=False`` (default, the hot path in the tier cascade) always
+    emits the '11' new-window code for a changed value — fully vectorized,
+    no per-element Python, a few % worse ratio than the window-reuse
+    variant.  ``optimal=True`` runs the paper's sequential window-reuse
+    chain (inherently order-dependent).  Both produce bitstreams the same
+    ``decode_gorilla`` reads.
+    """
+    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    n = len(v)
+    if n == 0:
+        return _pack(np.zeros(0, np.uint8), 0)
+    xors = v[1:] ^ v[:-1]
+    m = len(xors)
+    lz = np.minimum(_clz64(xors), 31)  # 5-bit field
+    tz = np.minimum(_ctz64(xors), 63)
+    sig = np.where(xors == 0, 0, 64 - lz - tz).astype(np.int64)
+
+    ctrl_v = np.zeros(m, np.uint64)
+    ctrl_l = np.zeros(m, np.int64)
+    hdr_v = np.zeros(m, np.uint64)
+    hdr_l = np.zeros(m, np.int64)
+    pay_v = np.zeros(m, np.uint64)
+    pay_l = np.zeros(m, np.int64)
+    nz = xors != 0
+    if not optimal:
+        ctrl_l[:] = 1  # '0' for unchanged
+        ctrl_v[nz] = 0b11
+        ctrl_l[nz] = 2
+        hdr_v[nz] = (lz[nz].astype(np.uint64) << np.uint64(6)) | (
+            sig[nz].astype(np.uint64) & np.uint64(0x3F)
+        )
+        hdr_l[nz] = 11
+        shift = tz.astype(np.uint64)
+        mask = np.where(
+            sig >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
+            (np.uint64(1) << sig.clip(0, 63).astype(np.uint64)) - np.uint64(1),
+        )
+        pay_v[nz] = (xors[nz] >> shift[nz]) & mask[nz]
+        pay_l[nz] = sig[nz]
+    else:
+        # paper-faithful sequential window-reuse chain
+        prev_lz, prev_sig = -1, -1
+        lz_l, tz_l, sig_l, xors_l = lz.tolist(), tz.tolist(), sig.tolist(), xors.tolist()
+        for i in range(m):
+            x = xors_l[i]
+            if x == 0:
+                ctrl_v[i], ctrl_l[i] = 0, 1
+                continue
+            li, ti, si = lz_l[i], tz_l[i], sig_l[i]
+            if (
+                prev_lz >= 0
+                and prev_sig > 0
+                and li >= prev_lz
+                and ti >= 64 - prev_lz - prev_sig
+            ):
+                ctrl_v[i], ctrl_l[i] = 0b10, 2
+                shift = 64 - prev_lz - prev_sig
+                pay_v[i] = (x >> shift) & ((1 << prev_sig) - 1)
+                pay_l[i] = prev_sig
+            else:
+                ctrl_v[i], ctrl_l[i] = 0b11, 2
+                hdr_v[i] = (li << 6) | (si & 0x3F)  # 5b leading + 6b (len mod 64)
+                hdr_l[i] = 11
+                pay_v[i] = (x >> ti) & ((1 << si) - 1) if si < 64 else x
+                pay_l[i] = si
+                prev_lz, prev_sig = li, si
+    inter = np.empty(3 * m + 1, np.uint64)
+    inter_l = np.empty(3 * m + 1, np.int64)
+    inter[0], inter_l[0] = v[0], 64
+    inter[1::3], inter_l[1::3] = ctrl_v, ctrl_l
+    inter[2::3], inter_l[2::3] = hdr_v, hdr_l
+    inter[3::3], inter_l[3::3] = pay_v, pay_l
+    bits = _bit_scatter(inter, inter_l)
+    return _pack(bits, n)
+
+
+def decode_gorilla(buf: bytes) -> np.ndarray:
+    (n,) = struct.unpack_from("<I", buf, 0)
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = _BitReader(buf, 4)
+    out[0] = r.read(64)
+    prev = int(out[0])
+    lz = sig = 0
+    for i in range(1, n):
+        c = r.read(1)
+        if c == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 0:  # '10' → reuse window
+            bits = r.read(sig)
+            x = bits << (64 - lz - sig)
+        else:  # '11' → new window
+            lz = r.read(5)
+            sig = r.read(6)
+            if sig == 0:
+                sig = 64
+            bits = r.read(sig)
+            x = bits << ((64 - lz - sig) if lz + sig < 64 else 0)
+        prev ^= x
+        out[i] = prev
+    return out.view(np.float64)
