@@ -1,0 +1,156 @@
+"""Tier-cascade correctness vs the single-node pandas oracle.
+
+Checks (SURVEY.md §5): exact tier-point match at every grain, per-turn
+text equality under stable (conv_id, turn_idx) order, cascade
+re-aggregation consistency, partition-count invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import gapfill_pdf, tier_pdf
+from ts_process_spark.datagen import gen_conv_pdf, transcripts
+from ts_process_spark.functions.codecs import decode_dod, decode_gorilla
+from ts_process_spark.operators.gapfill import gapfill_ts
+from ts_process_spark.operators.rollup import full_cascade, rollup_raw_to_1m
+
+N_CONVS = 10
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def raw_pdf() -> pd.DataFrame:
+    return pd.concat(
+        [gen_conv_pdf(k, seed=SEED, median_turns=12) for k in range(N_CONVS)],
+        ignore_index=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark, raw_pdf):
+    return transcripts(spark, n_convs=N_CONVS, seed=SEED, median_turns=12).cache()
+
+
+def test_generator_matches_oracle_frame(spark, raw_df, raw_pdf):
+    """Distributed generator == pure-function pandas recipe, and the
+    per-turn text equality invariant under (conv_id, turn_idx) order."""
+    got = (
+        raw_df.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "role", "text", "tool")
+        .toPandas()
+    )
+    exp = raw_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)[
+        ["conv_id", "turn_idx", "role", "text", "tool"]
+    ]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_gapfill_exact(spark, raw_df, raw_pdf):
+    got = (
+        gapfill_ts(raw_df)
+        .select(
+            "conv_id", "turn_idx", F.unix_micros("ts_filled").alias("us"), "gapfilled"
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = gapfill_pdf(raw_pdf).sort_values(["conv_id", "turn_idx"])
+    assert got["us"].tolist() == [int(u) for u in exp["ts_filled_us"]]
+    assert got["gapfilled"].tolist() == exp["gapfilled"].tolist()
+    assert int(raw_pdf["ts"].isna().sum()) == int(got["gapfilled"].sum()) > 0
+
+
+@pytest.mark.parametrize("tier,unit", [("1m", "minute"), ("1h", "hour"), ("1d", "day")])
+def test_tiers_match_oracle(spark, raw_df, raw_pdf, tier, unit):
+    """Every tier of the engine cascade == the direct raw→tier oracle,
+    including decoded blob points (exact, bit-level)."""
+    tiers = full_cascade(raw_df)
+    got = (
+        tiers[tier]
+        .withColumn("bucket_us", F.unix_micros("bucket_ts"))
+        .withColumn("first_us", F.unix_micros("first_ts"))
+        .withColumn("last_us", F.unix_micros("last_ts"))
+        .orderBy("conv_id", "bucket_ts")
+        .toPandas()
+    )
+    exp = tier_pdf(gapfill_pdf(raw_pdf), unit).sort_values(
+        ["conv_id", "bucket_us"]
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in [
+        "conv_id",
+        "bucket_us",
+        "n_turns",
+        "n_gapfilled",
+        "sum_text_len",
+        "peak_text_len",
+        "first_turn_idx",
+        "last_turn_idx",
+        "first_us",
+        "last_us",
+    ]:
+        assert got[col].tolist() == exp[col].tolist(), col
+    np.testing.assert_allclose(got["mean_text_len"], exp["mean_text_len"], rtol=0)
+    np.testing.assert_allclose(
+        got["mean_gap_s"].fillna(-1), exp["mean_gap_s"].fillna(-1), rtol=0
+    )
+    for i in range(len(got)):
+        assert decode_dod(bytes(got["ts_blob"][i])).tolist() == exp["ts_points"][i], i
+        assert (
+            decode_gorilla(bytes(got["val_blob"][i])).tolist() == exp["val_points"][i]
+        ), i
+
+
+def test_partition_invariance(spark):
+    """Identical tier rows (hashes and blobs included) at 2 vs 16 input
+    partitions — the local stand-in for executor-count invariance."""
+    outs = []
+    for parts in (2, 16):
+        raw = transcripts(spark, n_convs=6, seed=11, partitions=parts)
+        t1h = full_cascade(raw)["1h"]
+        outs.append(
+            t1h.select(
+                "conv_id",
+                "bucket_ts",
+                "n_turns",
+                "text_hash",
+                F.md5(F.col("ts_blob")).alias("tsb"),
+                F.md5(F.col("val_blob")).alias("vlb"),
+            )
+            .orderBy("conv_id", "bucket_ts")
+            .toPandas()
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_text_hash_is_order_stable(spark, raw_df):
+    """text_hash at 1m == xxhash64 of texts concatenated in turn order,
+    computed through an independent (non-grouped) Spark expression."""
+    t1m = rollup_raw_to_1m(raw_df)
+    got = {
+        (r["conv_id"], r["bucket_ts"]): r["text_hash"]
+        for r in t1m.select("conv_id", "bucket_ts", "text_hash").collect()
+    }
+    filled = gapfill_ts(raw_df).where(F.col("ts_filled").isNotNull())
+    exp_rows = (
+        filled.select(
+            "conv_id",
+            F.date_trunc("minute", "ts_filled").alias("bucket_ts"),
+            "turn_idx",
+            "text",
+        )
+        .orderBy("conv_id", "bucket_ts", "turn_idx")
+        .toPandas()
+    )
+    sep = "\x1f"
+    agg = exp_rows.groupby(["conv_id", "bucket_ts"], sort=False)["text"].agg(
+        sep.join
+    )
+    joined = spark.createDataFrame(
+        agg.reset_index().rename(columns={"text": "joined"})
+    ).select("conv_id", "bucket_ts", F.xxhash64("joined").alias("h"))
+    for r in joined.collect():
+        assert got[(r["conv_id"], r["bucket_ts"])] == r["h"]

@@ -1,0 +1,227 @@
+"""The retention-tier rollup cascade: raw → 1m → 1h → 1d.
+
+Reference analog: ts-process downsamples every series to a coarser dt
+(`/root/reference/ts_process/ts_library.py:896-962`; the integer-factor
+`decimate` fast path at `:919-925` is exactly our exact-multiple tier
+cascade), and extracts per-series aggregates — peak = max|x|
+(`/root/reference/ts_process/rotd50/rotd50.f:272-281`), mean / DC level
+(`/root/reference/ts_process/rotd50/ft_th.f:1-30`).  Here every tier is a
+continuous aggregate over conversation turns:
+
+Tier row (TIER_SCHEMA):
+    conv_id, bucket_ts, n_turns, n_gapfilled, sum_text_len,
+    peak_text_len, mean_text_len, first_turn_idx, last_turn_idx,
+    first_ts, last_ts, mean_gap_s, text_hash, ts_blob, val_blob
+
+- *Re-aggregable* measures (counts, sums, max, min/max, first/last) make
+  the 1h tier computable from the 1m tier alone — the partial+final
+  combine Catalyst does for a hash aggregate, made explicit across tiers.
+- ``mean_text_len`` / ``mean_gap_s`` are derived (sum/count), never
+  cascaded directly.
+- ``text_hash``: xxhash64 over texts concatenated in ``turn_idx`` order
+  at the 1m tier (the per-turn text-equality surrogate, BASELINE.json:6);
+  coarser tiers chain-hash the child hashes in bucket order.
+- ``ts_blob`` / ``val_blob``: delta-of-delta timestamps + Gorilla XOR of
+  the text-length signal for every point in the bucket; coarser tiers
+  decode children, concatenate, re-encode (lossless all the way down).
+
+Execution shape (what survives a 1000-executor, 10^12-turn run):
+- One shuffle for the whole raw→1m stage: the gap-fill window partitions
+  by ``conv_id`` and ``groupBy(conv_id, bucket)`` reuses that exchange.
+- Skew: bucket grain bounds group size at raw→1m (a hot conversation
+  spreads over its minutes).  For the coarser tiers the group is
+  (conv, hour|day) of *1m rows* (≤60/24 children), inherently bounded.
+- All aggregates are JVM/codegen (`F.sum/max/min/xxhash64`); the only
+  Arrow UDF is the per-bucket blob codec — a scalar pandas_udf over
+  pre-grouped arrays, vectorized NumPy inside, zero per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ts_process_spark.functions.codecs import (
+    decode_dod,
+    decode_gorilla,
+    encode_dod,
+    encode_gorilla,
+)
+from ts_process_spark.operators.gapfill import gapfill_ts
+
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+_SEP = "\x1f"
+
+TIER_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("bucket_ts", T.TimestampType(), False),
+        T.StructField("n_turns", T.LongType(), False),
+        T.StructField("n_gapfilled", T.LongType(), False),
+        T.StructField("sum_text_len", T.LongType(), False),
+        T.StructField("peak_text_len", T.LongType(), False),
+        T.StructField("mean_text_len", T.DoubleType(), False),
+        T.StructField("first_turn_idx", T.IntegerType(), False),
+        T.StructField("last_turn_idx", T.IntegerType(), False),
+        T.StructField("first_ts", T.TimestampType(), False),
+        T.StructField("last_ts", T.TimestampType(), False),
+        T.StructField("mean_gap_s", T.DoubleType(), True),
+        T.StructField("text_hash", T.LongType(), False),
+        T.StructField("ts_blob", T.BinaryType(), False),
+        T.StructField("val_blob", T.BinaryType(), False),
+    ]
+)
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_dod_udf(ts_arrays: pd.Series) -> pd.Series:
+    return ts_arrays.map(
+        lambda a: encode_dod(np.asarray(a, dtype=np.int64))
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _encode_gorilla_udf(val_arrays: pd.Series) -> pd.Series:
+    return val_arrays.map(
+        lambda a: encode_gorilla(np.asarray(a, dtype=np.float64))
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _concat_dod_udf(blob_arrays: pd.Series) -> pd.Series:
+    return blob_arrays.map(
+        lambda blobs: encode_dod(
+            np.concatenate([decode_dod(bytes(b)) for b in blobs])
+        )
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _concat_gorilla_udf(blob_arrays: pd.Series) -> pd.Series:
+    return blob_arrays.map(
+        lambda blobs: encode_gorilla(
+            np.concatenate([decode_gorilla(bytes(b)) for b in blobs])
+        )
+    )
+
+
+def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
+    """raw transcript turns → 1-minute tier (includes gap-fill)."""
+    filled = gapfill_ts(raw).where(F.col("ts_filled").isNotNull())
+    pts = filled.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        F.date_trunc("minute", "ts_filled").alias("bucket_ts"),
+        F.unix_micros("ts_filled").alias("ts_us"),
+        F.col("gapfilled").cast("long").alias("gf"),
+        F.length("text").cast("long").alias("text_len"),
+        F.col("text"),
+    )
+    # one hash-aggregate; collect_list + array_sort pins the in-bucket
+    # order to turn_idx so hashes and blobs are partition-count-invariant
+    grouped = pts.groupBy("conv_id", "bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("gf").alias("n_gapfilled"),
+        F.sum("text_len").alias("sum_text_len"),
+        F.max("text_len").alias("peak_text_len"),
+        F.min("turn_idx").cast("int").alias("first_turn_idx"),
+        F.max("turn_idx").cast("int").alias("last_turn_idx"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "ts_us", "text_len", "text"))
+        ).alias("pts"),
+    )
+    return grouped.select(
+        "conv_id",
+        "bucket_ts",
+        "n_turns",
+        "n_gapfilled",
+        "sum_text_len",
+        "peak_text_len",
+        (F.col("sum_text_len") / F.col("n_turns")).alias("mean_text_len"),
+        "first_turn_idx",
+        "last_turn_idx",
+        F.timestamp_micros("first_us").alias("first_ts"),
+        F.timestamp_micros("last_us").alias("last_ts"),
+        F.when(
+            F.col("n_turns") > 1,
+            (F.col("last_us") - F.col("first_us")) / 1e6 / (F.col("n_turns") - 1),
+        ).alias("mean_gap_s"),
+        F.xxhash64(
+            F.concat_ws(_SEP, F.transform("pts", lambda p: p["text"]))
+        ).alias("text_hash"),
+        _encode_dod_udf(F.transform("pts", lambda p: p["ts_us"])).alias("ts_blob"),
+        _encode_gorilla_udf(
+            F.transform("pts", lambda p: p["text_len"].cast("double"))
+        ).alias("val_blob"),
+    )
+
+
+def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
+    """Aggregate a finer tier (1m→1h or 1h→1d). ``tier`` ∈ {'1h','1d'}."""
+    trunc = TIERS[tier]
+    grouped = child.groupBy(
+        "conv_id", F.date_trunc(trunc, "bucket_ts").alias("bucket_ts")
+    ).agg(
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("n_gapfilled").alias("n_gapfilled"),
+        F.sum("sum_text_len").alias("sum_text_len"),
+        F.max("peak_text_len").alias("peak_text_len"),
+        F.min("first_turn_idx").alias("first_turn_idx"),
+        F.max("last_turn_idx").alias("last_turn_idx"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket_ts").alias("b"),
+                    F.col("text_hash").alias("h"),
+                    F.col("ts_blob").alias("tb"),
+                    F.col("val_blob").alias("vb"),
+                )
+            )
+        ).alias("children"),
+    )
+    return grouped.select(
+        "conv_id",
+        "bucket_ts",
+        "n_turns",
+        "n_gapfilled",
+        "sum_text_len",
+        "peak_text_len",
+        (F.col("sum_text_len") / F.col("n_turns")).alias("mean_text_len"),
+        "first_turn_idx",
+        "last_turn_idx",
+        "first_ts",
+        "last_ts",
+        F.when(
+            F.col("n_turns") > 1,
+            (F.unix_micros("last_ts") - F.unix_micros("first_ts"))
+            / 1e6
+            / (F.col("n_turns") - 1),
+        ).alias("mean_gap_s"),
+        F.xxhash64(
+            F.concat_ws(
+                _SEP, F.transform("children", lambda c: c["h"].cast("string"))
+            )
+        ).alias("text_hash"),
+        _concat_dod_udf(F.transform("children", lambda c: c["tb"])).alias("ts_blob"),
+        _concat_gorilla_udf(F.transform("children", lambda c: c["vb"])).alias(
+            "val_blob"
+        ),
+    )
+
+
+def full_cascade(raw: DataFrame) -> dict[str, DataFrame]:
+    """raw → {'1m': df, '1h': df, '1d': df}. Each tier derives from the
+    previous one (never re-reads raw) — the continuous-aggregate chain."""
+    t1m = rollup_raw_to_1m(raw)
+    t1h = rollup_cascade(t1m, "1h")
+    t1d = rollup_cascade(t1h, "1d")
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
