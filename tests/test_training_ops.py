@@ -1,0 +1,137 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text stats, multimodal plumbing) on small deterministic data."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts_process_spark.operators import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog", "en"),  # near dup
+    (3, "completely different content about spark engines", "en"),
+    (4, "der schnelle braune fuchs springt und ist ein tier", "de"),
+    (5, "le renard brun rapide est dans la foret pour un moment", "fr"),
+    (6, "spark engines about content different completely", "en"),  # perm of 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text", "lang"])
+    ).cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs, F.col("text")).where(F.col("n_docs") > 1)
+    rows = groups.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["keep_id"] == 0
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.wordset_jaccard_pairs(docs, 0.7).collect()
+    }
+    assert (0, 1) in pairs  # identical
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-word swap
+    assert (3, 6) in pairs  # same word set, different order
+    assert not any(a == 4 or b == 4 for a, b in pairs)
+
+
+def test_minhash_subset_of_exact(docs):
+    """LSH+verify pairs must be a subset of the exact-Jaccard pairs at
+    the same threshold (verification uses the same measure)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.wordset_jaccard_pairs(docs, 0.9).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    assert mh <= exact
+    assert (0, 1) in mh  # identical docs always survive LSH
+
+
+def test_simhash(docs):
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text, identical signature
+    assert sigs[3] == sigs[6]  # bag-of-words model: permutation-invariant
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=12).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_fingerprint_order_sensitive(docs):
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in textstats.with_fingerprint(docs).collect()
+    }
+    assert fps[0] == fps[1]
+    assert fps[3] != fps[6]  # rolling hash sees order, unlike simhash
+
+
+def test_langid(docs):
+    preds = {
+        r["doc_id"]: r["lang_pred"]
+        for r in textstats.with_language_id(docs).collect()
+    }
+    assert preds[0] == "en" and preds[4] == "de" and preds[5] == "fr"
+
+
+def test_token_stats(docs):
+    r = (
+        textstats.with_token_stats(docs)
+        .where(F.col("doc_id") == 0)
+        .first()
+    )
+    assert r["n_tokens"] == 9
+    assert r["n_unique_tokens"] == 8  # 'the' twice
+
+
+def test_srp_ann_recall(spark):
+    """SRP-bucketed ANN finds a reasonable fraction of true top-3
+    neighbors on the embeddings fixture."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(embs, k=3, n_queries=20).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.srp_ann_topk(embs, k=3, n_planes=4).collect()
+        if r["query_id"] < 20
+    }
+    # 4 planes → 16 buckets; recall needn't be high, but must be nonzero
+    # and every approx pair must share a bucket by construction
+    assert len(approx & exact) > 0
+    buckets = {
+        r["id"]: r["bucket"]
+        for r in similarity.srp_bucket_assignments(embs, n_planes=4).collect()
+    }
+    for q, n in approx:
+        assert buckets[q] == buckets[n]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == len(DOCS)
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["n_bytes"] == len(DOCS[0][1].encode())
+    assert abs(sum(by_id[0]["feature"]) - 1.0) < 1e-9
+    assert by_id[0]["byte_entropy"] > 0
+    # identical payloads → identical features (deterministic stub)
+    assert by_id[0]["feature"] == by_id[1]["feature"]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff")

