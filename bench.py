@@ -1,0 +1,124 @@
+"""Benchmark harness.
+
+Runs (a) the headline transcript rollup cascade (raw→1m→1h→1d) on a
+deterministically generated transcript table materialized to parquet
+outside the timed region, and (b) a representative slice of the
+oracle-checked query registry at $SPARK_GRAFT_SF_DIR — then prints ONE
+JSON line:
+
+    {"metric": "rollup_turns_per_sec", "value": N, "unit": "turns/sec",
+     "queries": {...per-query seconds...}, "sf": ..., ...}
+
+Timing uses the `noop` sink so every column (including the Gorilla/DoD
+blob UDFs) is actually computed — `count()` would let Catalyst prune
+the expensive columns and flatter the numbers.
+
+Environment knobs:
+    SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    BENCH_CONVS          conversations in the cascade table (default 400)
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_run.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h",
+    "gapfill_linear",
+    "integrate_trapezoid",
+    "sessionize",
+    "asof_join",
+    "pricing_summary",
+    "top3_per_supplier",
+    "doc_minhash_neardup",
+    "doc_token_stats",
+    "emb_knn",
+    "emb_srp_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "400"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ts_process_spark.datagen import transcripts
+    from ts_process_spark.operators.rollup import rollup_cascade, rollup_raw_to_1m
+    from ts_process_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    tmp = tempfile.mkdtemp(prefix="ts_bench_")
+    try:
+        # ---- cascade headline (datagen NOT timed: write raw first)
+        raw_path = f"{tmp}/raw"
+        transcripts(spark, n_convs=n_convs, seed=42, partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(raw_path)
+        raw = spark.read.parquet(raw_path)
+        n_turns = raw.count()
+
+        t0 = time.time()
+        t1m = rollup_raw_to_1m(raw)
+        t1m.write.mode("overwrite").parquet(f"{tmp}/t1m")
+        t1m_r = spark.read.parquet(f"{tmp}/t1m")
+        t1h = rollup_cascade(t1m_r, "1h")
+        t1h.write.mode("overwrite").parquet(f"{tmp}/t1h")
+        t1h_r = spark.read.parquet(f"{tmp}/t1h")
+        rollup_cascade(t1h_r, "1d").write.mode("overwrite").parquet(f"{tmp}/t1d")
+        cascade_sec = time.time() - t0
+        turns_per_sec = n_turns / cascade_sec
+
+        # ---- registry queries at sf_dir
+        qs = entry.queries()
+        q_secs: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            try:
+                q_secs[name] = round(_noop(qs[name](spark, sf_dir)), 3)
+            except Exception as e:  # keep the bench line parseable
+                q_secs[name] = -1.0
+                print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+        print(
+            json.dumps(
+                {
+                    "metric": "rollup_turns_per_sec",
+                    "value": round(turns_per_sec, 1),
+                    "unit": "sec",
+                    "queries": q_secs,
+                    "sf": sf,
+                    "cascade_sec": round(cascade_sec, 2),
+                    "cascade_turns": n_turns,
+                    "cores": cpus,
+                    "bench_convs": n_convs,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

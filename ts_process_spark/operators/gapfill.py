@@ -31,17 +31,23 @@ from pyspark.sql import functions as F
 def gapfill_ts(df: DataFrame) -> DataFrame:
     """Add ``ts_filled`` (timestamp, never null if the conv has ≥1 known
     ts) and ``gapfilled`` (boolean) to a transcript DataFrame."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # Both lookups use GROWING frames (unboundedPreceding → current row),
+    # which Spark evaluates incrementally in O(n); the tempting
+    # first(ignorenulls) over an unbounded-FOLLOWING frame re-aggregates
+    # the frame per row — O(n²) on a hot conversation — so "next known"
+    # is a last() over the reverse ordering instead.
+    w_fwd = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_bwd = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     known = F.when(
         F.col("ts").isNotNull(),
         F.struct(F.col("turn_idx").alias("i"), F.unix_micros("ts").alias("us")),
     )
-    prev = F.last(known, ignorenulls=True).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    nxt = F.first(known, ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
-    )
+    prev = F.last(known, ignorenulls=True).over(w_fwd)
+    nxt = F.last(known, ignorenulls=True).over(w_bwd)
     out = (
         df.withColumn("_prev_i", prev["i"])
         .withColumn("_prev_us", prev["us"])

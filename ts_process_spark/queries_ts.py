@@ -147,12 +147,16 @@ def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(w)
     ev = ev.withColumn("rn", rn)
     known = F.when(F.col("v").isNotNull(), F.struct("rn", "v"))
-    wp = Window.partitionBy("user_id").orderBy("rn")
+    # growing frames in both directions — O(n), see operators/gapfill.py
     prev = F.last(known, ignorenulls=True).over(
-        wp.rowsBetween(Window.unboundedPreceding, 0)
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    nxt = F.first(known, ignorenulls=True).over(
-        wp.rowsBetween(0, Window.unboundedFollowing)
+    nxt = F.last(known, ignorenulls=True).over(
+        Window.partitionBy("user_id")
+        .orderBy(F.col("rn").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
         F.when(
