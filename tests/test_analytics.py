@@ -1,0 +1,172 @@
+"""Distributed analytics transforms == local NumPy kernels, exactly.
+
+The dsp kernels are property-tested in test_dsp.py; here the check is
+that the Spark plumbing (grouping, ordering, pivoting, fan-out) applies
+them to the right rows in the right order — results must be
+bit-identical to applying the kernel locally per series."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ts_process_spark.datagen import gen_signal_pdf, signals
+from ts_process_spark.functions import dsp
+from ts_process_spark.operators import analytics
+
+N = 1024
+
+
+@pytest.fixture(scope="module")
+def sig_df(spark):
+    return signals(spark, cases=["lowpass", "rotate30"], n=N).cache()
+
+
+@pytest.fixture(scope="module")
+def sig_pdf():
+    return {
+        (case, comp): gen_signal_pdf(case, comp, n=N)
+        for case in ("lowpass", "rotate30")
+        for comp in ("h1", "h2", "ver")
+    }
+
+
+def _series(df, sid, col):
+    return np.array(
+        [r[col] for r in df.where(F.col("series_id") == sid).orderBy("i").collect()]
+    )
+
+
+def test_filter_signals_matches_kernel(sig_df, sig_pdf):
+    out = analytics.filter_signals(sig_df, "lowpass", fmax=5.0)
+    got = _series(out, "lowpass-h1", "acc")
+    exp = dsp.filter_data(
+        sig_pdf[("lowpass", "h1")]["acc"].to_numpy(), 0.01, "lowpass", fmax=5.0
+    )
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_highpass_pad_and_trim(sig_df, sig_pdf):
+    out = analytics.filter_signals(sig_df, "highpass", fmin=0.5)
+    got = _series(out, "lowpass-h2", "vel")
+    x = sig_pdf[("lowpass", "h2")]["vel"].to_numpy()
+    xp, pad = dsp.pad_for_highpass(x, 0.01, 0.5, 4)
+    exp = dsp.filter_data(xp, 0.01, "highpass", fmin=0.5)[pad : pad + N]
+    np.testing.assert_array_equal(got, exp)
+    assert len(got) == N  # grid preserved
+
+
+def test_integrate_matches_kernel(sig_df, sig_pdf):
+    out = analytics.integrate_signals(sig_df, col="vel", out="integral")
+    got = _series(out, "lowpass-ver", "integral")
+    exp = dsp.integrate(sig_pdf[("lowpass", "ver")]["vel"].to_numpy(), 0.01)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_resample_decimate(sig_df, sig_pdf):
+    out = analytics.resample_signals(sig_df, 0.02)
+    got = _series(out, "lowpass-h1", "acc")
+    exp = dsp.resample(sig_pdf[("lowpass", "h1")]["acc"].to_numpy(), 0.01, 0.02)
+    np.testing.assert_array_equal(got, exp)
+    assert out.where(F.col("series_id") == "lowpass-h1").agg(
+        F.max("dt")
+    ).first()[0] == 0.02
+
+
+def test_rotate_station(sig_df, sig_pdf):
+    out = analytics.rotate_station(sig_df, 30.0)
+    got_h1 = _series(out, "rotate30-h1", "acc")
+    got_h2 = _series(out, "rotate30-h2", "acc")
+    exp_h1, exp_h2 = dsp.rotate_pair(
+        sig_pdf[("rotate30", "h1")]["acc"].to_numpy(),
+        sig_pdf[("rotate30", "h2")]["acc"].to_numpy(),
+        30.0,
+    )
+    np.testing.assert_array_equal(got_h1, exp_h1)
+    np.testing.assert_array_equal(got_h2, exp_h2)
+    oris = dict(
+        out.where(F.col("series_id").startswith("rotate30"))
+        .select("series_id", "orientation_deg")
+        .distinct()
+        .collect()
+    )
+    assert oris["rotate30-h1"] == 330.0 and oris["rotate30-h2"] == 60.0
+    # vertical untouched
+    np.testing.assert_array_equal(
+        _series(out, "rotate30-ver", "acc"),
+        sig_pdf[("rotate30", "ver")]["acc"].to_numpy(),
+    )
+
+
+def test_response_spectrum_matches_kernel(sig_df, sig_pdf):
+    periods = [0.2, 1.0]
+    out = analytics.response_spectrum(
+        sig_df.where(F.col("series_id") == "lowpass-h1"), periods=periods
+    )
+    got = {r["period"]: r["psa"] for r in out.collect()}
+    acc = sig_pdf[("lowpass", "h1")]["acc"].to_numpy()
+    for p in periods:
+        rsp = dsp.oscillator_response(acc, 2 * np.pi / p, 0.05, 0.01)
+        assert got[p] == dsp.calc_sa(rsp)
+
+
+def test_rotd50_matches_kernel(sig_df, sig_pdf):
+    periods = [0.3, 1.5]
+    out = analytics.rotd50_stations(
+        sig_df.where(F.col("series_id").startswith("rotate30")), periods=periods
+    )
+    rows = {r["period"]: r for r in out.collect()}
+    psa1, psa2, rd = dsp.rotd50(
+        sig_pdf[("rotate30", "h1")]["acc"].to_numpy(),
+        sig_pdf[("rotate30", "h2")]["acc"].to_numpy(),
+        0.01,
+        periods=np.array(periods),
+    )
+    for i, p in enumerate(periods):
+        assert rows[p]["psa_h1"] == psa1[i]
+        assert rows[p]["psa_h2"] == psa2[i]
+        assert rows[p]["rotd50"] == rd[i]
+
+
+def test_fas_matches_kernel(sig_df, sig_pdf):
+    out = analytics.fas_signals(
+        sig_df.where(F.col("series_id") == "lowpass-h1"), fmin=0.5, fmax=10.0
+    )
+    rows = out.orderBy("freq").collect()
+    acc = sig_pdf[("lowpass", "h1")]["acc"].to_numpy()
+    freq, amp = dsp.fas(acc, 0.01, dsp.get_points(N), 0.5, 10.0)
+    np.testing.assert_array_equal([r["freq"] for r in rows], freq)
+    np.testing.assert_array_equal([r["amplitude"] for r in rows], amp)
+
+
+def test_asof_join_grouped(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 1, 1, 2, 2], "t": [5.0, 10.0, 20.0, 3.0, 9.0],
+             "lv": ["a", "b", "c", "d", "e"]}
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 2], "rt": [4.0, 9.0, 100.0], "rv": [40, 90, 7]})
+    )
+    out = analytics.asof_join_grouped(
+        left, right, by="k", left_on="t", right_on="rt", right_cols=["rv"]
+    )
+    got = {(r["k"], r["t"]): r["rv"] for r in out.collect()}
+    assert got == {
+        (1, 5.0): 40, (1, 10.0): 90, (1, 20.0): 90,
+        (2, 3.0): None, (2, 9.0): None,
+    }
+
+
+def test_baseline_signals_matches_kernel(sig_df, sig_pdf):
+    out = analytics.baseline_signals(
+        sig_df.where(F.col("series_id") == "lowpass-h1"), order=5
+    )
+    got = _series(out, "lowpass-h1", "dis")
+    _, _, _, dmod = dsp.baseline_correction(
+        sig_pdf[("lowpass", "h1")]["acc"].to_numpy(), 0.01, 1.0, 5
+    )
+    np.testing.assert_array_equal(got, dmod)

@@ -1,0 +1,180 @@
+"""Property tests for the pure-NumPy DSP kernel library (the reference
+formula surface, re-derived — see functions/dsp.py citations)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ts_process_spark.functions import dsp
+
+
+def _freqz(sos, w):
+    z = np.exp(1j * np.asarray(w))
+    h = np.ones_like(z, dtype=complex)
+    for s in sos:
+        b0, b1, b2, _, a1, a2 = s
+        h *= (b0 + b1 / z + b2 / z**2) / (1.0 + a1 / z + a2 / z**2)
+    return h
+
+
+def test_butter_magnitude_response():
+    for btype, Wn, probe in [
+        ("lowpass", 0.25, 0.25 * np.pi),
+        ("highpass", 0.1, 0.1 * np.pi),
+    ]:
+        sos = dsp.butter_sos(4, Wn, btype)
+        # -3 dB at the corner, flat far side
+        assert abs(abs(_freqz(sos, [probe])[0]) - 2 ** -0.5) < 1e-6
+    sos = dsp.butter_sos(4, [0.1, 0.4], "bandpass")
+    assert abs(abs(_freqz(sos, [0.2 * np.pi])[0]) - 1.0) < 1e-3
+    for edge in (0.1, 0.4):
+        assert abs(abs(_freqz(sos, [edge * np.pi])[0]) - 2 ** -0.5) < 1e-6
+
+
+def test_cheby1_ripple():
+    sos = dsp.cheby1_sos(8, 0.05, 0.4)
+    eps = np.sqrt(10 ** 0.005 - 1.0)
+    H = np.abs(_freqz(sos, np.linspace(1e-4, 0.4 * np.pi, 200)))
+    assert H.max() <= 1.0 + 1e-9
+    assert H.min() >= 1.0 / np.sqrt(1 + eps**2) - 1e-9
+    assert abs(_freqz(sos, [0.7 * np.pi])[0]) < 1e-3
+
+
+def test_filtfilt_zero_phase_and_attenuation():
+    dt = 0.01
+    t = np.arange(2048) * dt
+    passband = np.sin(2 * np.pi * 1.0 * t)
+    y = dsp.filter_data(passband, dt, "lowpass", fmax=5.0)
+    assert np.max(np.abs(y - passband)[100:-100]) < 1e-4  # no phase shift
+    stopband = np.sin(2 * np.pi * 20.0 * t)
+    y2 = dsp.filter_data(stopband, dt, "lowpass", fmax=5.0)
+    assert np.max(np.abs(y2[100:-100])) < 1e-4
+
+
+def test_integrate_derivative_roundtrip():
+    dt = 0.01
+    t = np.arange(1000) * dt
+    v = np.sin(2 * np.pi * 2 * t)
+    d = dsp.integrate(v, dt)
+    # analytic integral of sin: (1-cos)/w
+    w = 2 * np.pi * 2
+    assert np.max(np.abs(d - (1 - np.cos(w * t)) / w)) < 1e-3
+    # derivative(integral) recovers midpoint-ish values of v
+    back = dsp.derivative(d, dt)
+    assert np.max(np.abs(back[2:] - v[1:-1])) < 0.1
+    # reference boundary conventions
+    assert d[0] == v[0] * dt / 2.0
+    assert back[0] == d[0] / dt
+
+
+def test_smooth_is_sequential_recurrence():
+    x = np.arange(8.0) ** 2
+    s = dsp.smooth(x, 3)
+    # first element untouched; second uses original x[0]
+    assert s[0] == 0.0
+    assert s[1] == pytest.approx(0.5 * 1 + 0.25 * 0 + 0.25 * 4)
+    # third uses SMOOTHED left neighbor (in-place semantics)
+    assert s[2] == pytest.approx(0.5 * 4 + 0.25 * s[1] + 0.25 * 9)
+
+
+def test_taper_window_shapes():
+    w = dsp.taper_window("all", 50, 500)
+    assert w.size == 500 and w[250] == 1.0 and w[0] < 1e-4 and w[-1] < 1e-4
+    wf = dsp.taper_window("front", 50, 500)
+    assert wf[0] < 1e-4 and wf[-1] == 1.0
+    we = dsp.taper_window("end", 50, 500)
+    # reference quirk (ts_library.py:470-473): the 'end' branch comes up
+    # one short and the repair appends a trailing 1.0 — reproduced as-is
+    assert we[0] == 1.0 and we[-2] < 1e-4 and we[-1] == 1.0
+
+
+def test_pad_for_highpass_rule():
+    x = np.ones(100)
+    padded, pad = dsp.pad_for_highpass(x, 0.01, fmin=0.1, order=4)
+    assert pad == round((1.5 * 4 / 0.1) / 0.01 / 2.0)
+    assert len(padded) == 100 + 2 * pad
+    padded2, pad2 = dsp.pad_for_highpass(x, 0.01, 0.1, 4, existing=pad + 10)
+    assert pad2 == pad + 10 and len(padded2) == 100
+
+
+def test_baseline_removes_polynomial_drift():
+    dt, n = 0.01, 3000
+    t = np.arange(n) * dt
+    sig = np.sin(2 * np.pi * 2 * t)
+    drift_dis = 0.01 * t**2 + 0.001 * t**3
+    drift_acc = np.gradient(np.gradient(drift_dis, dt), dt)
+    _, _, _, dmod = dsp.baseline_correction(sig + drift_acc, dt, 1.0, 5)
+    _, _, _, dmod0 = dsp.baseline_correction(sig, dt, 1.0, 5)
+    assert np.max(np.abs(dmod - dmod0)) < 0.01 * np.max(np.abs(drift_dis))
+
+
+def test_rotate_pair():
+    h1, h2 = np.array([1.0, 2.0]), np.array([3.0, 4.0])
+    r1, r2 = dsp.rotate_pair(h1, h2, 90.0)
+    np.testing.assert_allclose(r1, [-3, -4], atol=1e-12)
+    np.testing.assert_allclose(r2, [1, 2], atol=1e-12)
+    # rotating by 360 in two steps is the identity
+    a1, a2 = dsp.rotate_pair(*dsp.rotate_pair(h1, h2, 30.0), 330.0)
+    np.testing.assert_allclose(a1, h1, atol=1e-12)
+    np.testing.assert_allclose(a2, h2, atol=1e-12)
+    # 270-separation uses the reflected matrix
+    r1b, _ = dsp.rotate_pair(h1, h2, 30.0, angle_between=270)
+    assert r1b[0] == pytest.approx(
+        np.cos(np.radians(30)) * 1 + np.sin(np.radians(30)) * 3
+    )
+
+
+def test_resample_paths():
+    dt = 0.005
+    t = np.arange(4096) * dt
+    x = np.sin(2 * np.pi * 2.0 * t)
+    same = dsp.resample(x, dt, dt)
+    assert np.array_equal(same, x)  # no-op fast path (ts_library.py:915-917)
+    # integer path (decimate by 2): matches analytic on the coarse grid
+    d = dsp.resample(x, dt, 0.01)
+    ref = np.sin(2 * np.pi * 2.0 * np.arange(len(d)) * 0.01)
+    assert np.max(np.abs(d - ref)[10:-10]) < 0.02
+    # sinc path (non-integer): bandlimited signal reconstructed
+    s = dsp.resample(x[:1024], dt, 0.008)
+    refs = np.sin(2 * np.pi * 2.0 * np.arange(len(s)) * 0.008)
+    assert np.max(np.abs(s - refs)[20:-20]) < 0.01
+
+
+def test_oscillator_static_and_resonance():
+    dt, n = 0.01, 4000
+    w = 2 * np.pi / 0.5
+    static = dsp.oscillator_response(np.full(n, 2.0), w, 0.05, dt)
+    assert static[-1] == pytest.approx(-2.0, abs=1e-6)  # psa → -a at rest
+    t = np.arange(n) * dt
+    res = dsp.oscillator_response(np.sin(w * t), w, 0.05, dt)
+    assert dsp.calc_sa(res) == pytest.approx(1.0 / (2 * 0.05), rel=0.05)
+
+
+def test_rotd50_invariance():
+    dt = 0.01
+    t = np.arange(2000) * dt
+    a1 = np.sin(2 * np.pi * 1.0 * t)
+    a2 = np.cos(2 * np.pi * 1.0 * t)
+    periods = np.array([0.2, 1.0])
+    _, _, rd = dsp.rotd50(a1, a2, dt, periods=periods)
+    # circularly polarized input: every rotation sees the same peak →
+    # rotd50 == psa of either component (within the pre-filter tolerance)
+    psa1, psa2, _ = dsp.rotd50(a1, a2, dt, periods=periods)
+    assert rd[1] == pytest.approx(psa1[1], rel=1e-2)
+    # rotd50 is bounded by min/max over the two as-recorded psas × √2
+    assert rd[1] <= max(psa1[1], psa2[1]) * np.sqrt(2) + 1e-9
+
+
+def test_fas_peak_location():
+    dt = 0.01
+    t = np.arange(2048) * dt
+    freq, amp = dsp.fas(np.sin(2 * np.pi * 5 * t), dt, 2048, 0.5, 20)
+    assert abs(freq[np.argmax(amp)] - 5.0) < 0.1
+
+
+def test_polimod_recovers_coefficients():
+    x = np.linspace(0, 10, 400)
+    y = 3.0 * x**2 + 0.5 * x**3
+    p = dsp.polimod(x, y, 3, 1)  # fit x^2..x^3
+    np.testing.assert_allclose(p, [3.0, 0.5], rtol=1e-8)

@@ -1,0 +1,381 @@
+"""ts-process analytics kernels as distributed DataFrame transforms.
+
+Input model: the tall signal table (FIXTURES.md F2)
+    (series_id, component, orientation_deg, i, dt, acc, vel, dis)
+— the Spark recast of the reference's Station/TimeseriesComponent
+(/root/reference/ts_process/ts_library.py:65-94): one row per sample,
+implicit time axis t = i·dt, three measure columns.
+
+Every whole-series kernel (filtfilt, resample, baseline, FAS,
+oscillator) is a grouped-map Arrow UDF via ``applyInPandas``: parallel
+across series, sequential within — the reference's semantics per group,
+the cluster's parallelism across groups.  Group size is bounded (a
+series is one seismogram-scale signal; the reference itself hard-caps
+at 2M samples, rotd50.f:24); for larger-than-memory groups the
+chunk+overlap helper in operators/skew.py applies.
+
+Relational glue (station pivot, per-period fan-out, as-of join) is
+DataFrame API — broadcastable dims, equi-joins, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ts_process_spark.functions import dsp
+
+_SIG_COLS = ("acc", "vel", "dis")
+
+
+def _per_series(df: DataFrame, fn, schema=None) -> DataFrame:
+    """groupBy(series_id).applyInPandas with rows pre-sorted by i."""
+    schema = schema or df.schema
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values("i").reset_index(drop=True))
+
+    return df.groupBy("series_id").applyInPandas(run, schema=schema)
+
+
+def filter_signals(
+    df: DataFrame,
+    btype: str,
+    fmin: float = 0.0,
+    fmax: float = 0.0,
+    N: int = 4,
+    cols: Iterable[str] = _SIG_COLS,
+) -> DataFrame:
+    """Butterworth zero-phase filter per series (filter_timeseries,
+    ts_library.py:779-894), incl. the 1.5·N/fmin zero-pad rule for
+    high/band-pass; output keeps the input grid (padding is internal)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dt = float(pdf["dt"].iloc[0])
+        out = pdf.copy()
+        for c in cols:
+            x = out[c].to_numpy(dtype=np.float64)
+            n0 = len(x)
+            pad = 0
+            if fmin and btype in ("highpass", "bandpass"):
+                x, pad = dsp.pad_for_highpass(x, dt, fmin, N)
+            y = dsp.filter_data(x, dt, btype, fmin=fmin, fmax=fmax, N=N)
+            out[c] = y[pad : pad + n0] if pad else y
+        return out
+
+    return _per_series(df, fn)
+
+
+def taper_signals(
+    df: DataFrame, flag: str = "all", m: int = 100, cols: Iterable[str] = _SIG_COLS
+) -> DataFrame:
+    """Kaiser(β=14) taper (ts_library.py:439-479)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.copy()
+        w = dsp.taper_window(flag, m, len(pdf))
+        for c in cols:
+            out[c] = out[c].to_numpy(dtype=np.float64) * w
+        return out
+
+    return _per_series(df, fn)
+
+
+def resample_signals(df: DataFrame, new_dt: float) -> DataFrame:
+    """interp dispatch per series: no-op / decimate / sinc
+    (ts_library.py:896-962); emits the new i grid and dt."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        old_dt = float(pdf["dt"].iloc[0])
+        cols = {}
+        for c in _SIG_COLS:
+            cols[c] = dsp.resample(pdf[c].to_numpy(dtype=np.float64), old_dt, new_dt)
+        n = min(len(v) for v in cols.values())
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "component": pdf["component"].iloc[0],
+                "orientation_deg": pdf["orientation_deg"].iloc[0],
+                "i": np.arange(n, dtype=np.int32),
+                "dt": new_dt,
+                **{c: v[:n] for c, v in cols.items()},
+            }
+        )
+
+    return _per_series(df, fn)
+
+
+def integrate_signals(df: DataFrame, col: str = "acc", out: str = "integral") -> DataFrame:
+    """Exact reference cumulative trapezoid (ts_library.py:96-109) —
+    done in the UDF in i-order so float summation order is pinned."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType(), False)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dt = float(pdf["dt"].iloc[0])
+        pdf[out] = dsp.integrate(pdf[col].to_numpy(dtype=np.float64), dt)
+        return pdf
+
+    return _per_series(df, fn, schema)
+
+
+def differentiate_signals(
+    df: DataFrame, col: str = "dis", out: str = "deriv"
+) -> DataFrame:
+    """Reference derivative (ts_library.py:111-124)."""
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType(), False)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dt = float(pdf["dt"].iloc[0])
+        pdf[out] = dsp.derivative(pdf[col].to_numpy(dtype=np.float64), dt)
+        return pdf
+
+    return _per_series(df, fn, schema)
+
+
+def baseline_signals(df: DataFrame, order: int = 5) -> DataFrame:
+    """Baseline correction per series (baseline_function,
+    ts_library.py:619-684): acc in, corrected acc/vel/dis out."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dt = float(pdf["dt"].iloc[0])
+        out = pdf.copy()
+        _, amod, vmod, dmod = dsp.baseline_correction(
+            pdf["acc"].to_numpy(dtype=np.float64), dt, 1.0, order
+        )
+        out["acc"], out["vel"], out["dis"] = amod, vmod, dmod
+        return out
+
+    return _per_series(df, fn)
+
+
+def _station_col(df: DataFrame) -> DataFrame:
+    """station = series_id minus the trailing '-<component>'."""
+    return df.withColumn(
+        "station", F.expr("substring(series_id, 1, length(series_id) - length(component) - 1)")
+    )
+
+
+ROTATE_SCHEMA_EXTRA = None
+
+
+def rotate_station(df: DataFrame, angle: float) -> DataFrame:
+    """Rotate the horizontal pair of every station by `angle` degrees
+    (rotate_timeseries, ts_library.py:686-777): channel reorder so H1
+    has the smaller azimuth, orthogonality check, truncation to the
+    common length, orientation update mod 360.  Vertical passes
+    through.  One shuffle on station; the 2×2 matmul runs on the whole
+    group at once."""
+    src = _station_col(df)
+    schema = df.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["component", "i"])
+        horiz = pdf[pdf["orientation_deg"].notna()]
+        vert = pdf[pdf["orientation_deg"].isna()]
+        comps = sorted(
+            horiz["component"].unique(),
+            key=lambda c: horiz.loc[horiz["component"] == c, "orientation_deg"].iloc[0],
+        )
+        if len(comps) != 2:
+            return pdf.drop(columns=["station"])
+        h1 = horiz[horiz["component"] == comps[0]].sort_values("i")
+        h2 = horiz[horiz["component"] == comps[1]].sort_values("i")
+        o1 = float(h1["orientation_deg"].iloc[0])
+        o2 = float(h2["orientation_deg"].iloc[0])
+        between = o2 - o1
+        if abs(between) not in (90.0, 270.0):
+            raise ValueError(f"station needs orthogonal horizontals, got {between}")
+        n = min(len(h1), len(h2))
+        h1, h2 = h1.iloc[:n].copy(), h2.iloc[:n].copy()
+        for c in _SIG_COLS:
+            r1, r2 = dsp.rotate_pair(
+                h1[c].to_numpy(dtype=np.float64),
+                h2[c].to_numpy(dtype=np.float64),
+                angle,
+                between,
+            )
+            h1[c], h2[c] = r1, r2
+        h1["orientation_deg"] = (o1 - angle) % 360.0
+        h2["orientation_deg"] = (o2 - angle) % 360.0
+        return pd.concat([h1, h2, vert], ignore_index=True).drop(columns=["station"])
+
+    return src.groupBy("station").applyInPandas(fn, schema=schema)
+
+
+FAS_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("freq", T.DoubleType(), False),
+        T.StructField("amplitude", T.DoubleType(), False),
+    ]
+)
+
+
+def fas_signals(
+    df: DataFrame, col: str = "acc", fmin: float = 0.1, fmax: float = 20.0
+) -> DataFrame:
+    """Fourier amplitude spectrum per series (FAS, ts_library.py:411-437)
+    with the next-pow-2 point count (get_points, :380-391)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        dt = float(pdf["dt"].iloc[0])
+        x = pdf[col].to_numpy(dtype=np.float64)
+        freq, amp = dsp.fas(x, dt, dsp.get_points(len(x)), fmin, fmax)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "freq": freq, "amplitude": amp}
+        )
+
+    return _per_series(df, fn, FAS_SCHEMA)
+
+
+PSA_SCHEMA = T.StructType(
+    [
+        T.StructField("series_id", T.StringType(), False),
+        T.StructField("period", T.DoubleType(), False),
+        T.StructField("psa", T.DoubleType(), False),
+    ]
+)
+
+
+def response_spectrum(
+    df: DataFrame,
+    periods: Iterable[float] = tuple(dsp.ROTD50_PERIODS),
+    damping: float = 0.05,
+    col: str = "acc",
+) -> DataFrame:
+    """PSA per (series, period): crossJoin with the broadcast period dim
+    (the 63-period grid analog, rotd50.f:36-45), oscillator recurrence +
+    peak inside the Arrow UDF (calcrsp.f semantics).  The period
+    fan-out multiplies parallelism — each (series, period) group is an
+    independent task at scale."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(float(p),) for p in periods], T.StructType([T.StructField("period", T.DoubleType())])
+    )
+    fan = df.crossJoin(F.broadcast(dim))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        dt = float(pdf["dt"].iloc[0])
+        period = float(pdf["period"].iloc[0])
+        w = 2.0 * np.pi / period
+        rsp = dsp.oscillator_response(
+            pdf[col].to_numpy(dtype=np.float64), w, damping, dt
+        )
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "period": [period],
+                "psa": [dsp.calc_sa(rsp)],
+            }
+        )
+
+    return fan.groupBy("series_id", "period").applyInPandas(fn, schema=PSA_SCHEMA)
+
+
+ROTD50_SCHEMA = T.StructType(
+    [
+        T.StructField("station", T.StringType(), False),
+        T.StructField("period", T.DoubleType(), False),
+        T.StructField("psa_h1", T.DoubleType(), False),
+        T.StructField("psa_h2", T.DoubleType(), False),
+        T.StructField("rotd50", T.DoubleType(), False),
+    ]
+)
+
+
+def rotd50_stations(
+    df: DataFrame,
+    periods: Iterable[float] = tuple(dsp.ROTD50_PERIODS),
+    damping: float = 0.05,
+    col: str = "acc",
+) -> DataFrame:
+    """RotD50 per station over the period grid — replaces the
+    reference's Fortran subprocess + PEER tempfile round-trip
+    (ts_library.py:207-271) with one grouped Arrow UDF; no files, no
+    chdir, thread-safe by construction."""
+    src = _station_col(df).where(F.col("orientation_deg").isNotNull())
+    ps = np.array(sorted(periods))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        comps = sorted(
+            pdf["component"].unique(),
+            key=lambda c: pdf.loc[pdf["component"] == c, "orientation_deg"].iloc[0],
+        )
+        h1 = pdf[pdf["component"] == comps[0]].sort_values("i")
+        h2 = pdf[pdf["component"] == comps[1]].sort_values("i")
+        dt = float(pdf["dt"].iloc[0])
+        psa1, psa2, rd = dsp.rotd50(
+            h1[col].to_numpy(dtype=np.float64),
+            h2[col].to_numpy(dtype=np.float64),
+            dt,
+            periods=ps,
+            damping=damping,
+        )
+        return pd.DataFrame(
+            {
+                "station": pdf["station"].iloc[0],
+                "period": ps,
+                "psa_h1": psa1,
+                "psa_h2": psa2,
+                "rotd50": rd,
+            }
+        )
+
+    return src.groupBy("station").applyInPandas(fn, schema=ROTD50_SCHEMA)
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Scalable as-of join: cogrouped applyInPandas running
+    pd.merge_asof per key — sort-merge within groups, equi-partition
+    across keys (the engine's answer to SURVEY §2.3 J1 at scale; the
+    window-function form in queries_ts.q_asof_join is the
+    SQL-checkable variant)."""
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [right.schema[c] for c in right_cols]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    left_names = {f.name for f in left.schema.fields}  # plain set: the UDF
+    # closure must not capture the DataFrames themselves (SPARK-5063)
+
+    def fn(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_names)
+        l = l.sort_values(left_on)
+        if r.empty:
+            for c in right_cols:
+                l[c] = None
+            return l
+        r = r.sort_values(right_on)[[right_on] + right_cols]
+        merged = pd.merge_asof(
+            l, r, left_on=left_on, right_on=right_on, direction=direction,
+            suffixes=("", "_r"),
+        )
+        drop = [right_on + "_r"] if right_on + "_r" in merged.columns else (
+            [right_on] if right_on not in left_names else []
+        )
+        return merged.drop(columns=drop, errors="ignore")
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(fn, schema=out_schema)
+    )
