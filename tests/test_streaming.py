@@ -1,0 +1,55 @@
+"""Streaming raw→1m tier == batch aggregate for every finalized window
+(append mode emits only windows sealed by the watermark)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_process_spark.datagen import transcripts
+from ts_process_spark.streaming.ingest import run_stream_to_memory
+
+
+@pytest.mark.parametrize("n_convs", [6])
+def test_stream_matches_batch(spark, tmp_path, n_convs):
+    path = str(tmp_path / "raw")
+    raw = transcripts(spark, n_convs=n_convs, seed=5, median_turns=15)
+    raw.repartition(4).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path).where(F.col("ts").isNotNull())
+
+    got = run_stream_to_memory(spark, path).cache()
+
+    # batch reference, restricted to windows the stream has finalized:
+    # window end ≤ final watermark = max(ts) − 10 min
+    max_ts = static.agg(F.max("ts")).first()[0]
+    batch = (
+        static.groupBy("conv_id", F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.max(F.length("text")).alias("peak_text_len"),
+            F.min("turn_idx").alias("first_turn_idx"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .where(
+            F.col("win.end") <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+        .select(
+            "conv_id", F.col("win.start").alias("bucket_ts"),
+            "n_turns", "sum_text_len", "peak_text_len",
+            "first_turn_idx", "last_turn_idx",
+        )
+    )
+    got_pd = got.orderBy("conv_id", "bucket_ts").toPandas()
+    exp_pd = batch.orderBy("conv_id", "bucket_ts").toPandas()
+    # the stream may additionally emit some not-yet-due windows on the
+    # final trigger boundary; every batch-finalized window must be there
+    # with identical values
+    merged = exp_pd.merge(
+        got_pd, on=["conv_id", "bucket_ts"], how="left", suffixes=("", "_s")
+    )
+    assert not merged["n_turns_s"].isna().any()
+    for c in ("n_turns", "sum_text_len", "peak_text_len",
+              "first_turn_idx", "last_turn_idx"):
+        assert (merged[c] == merged[f"{c}_s"]).all(), c
+    assert len(exp_pd) > 0
