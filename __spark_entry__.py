@@ -46,6 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(queries_docs())
     except ImportError:
         pass
+    try:
+        from ts_process_spark.queries_signals import queries_signals
+
+        out.update(queries_signals())
+    except ImportError:
+        pass
     return out
 
 

@@ -1,0 +1,99 @@
+"""Rows-only registry entries for the signal-kernel surface and the
+transcript tier cascade.  These operators have no ANSI-SQL equivalent
+(IIR recurrences, oscillator response, Gorilla blobs), so the driver
+records rows-only checks; their exactness is pinned by the pytest
+oracles instead (tests/test_dsp.py, test_analytics.py, test_rollup.py).
+
+Inputs are synthesized deterministically (seeded datagen) — the signal
+fixtures mirror the reference's test style (FIXTURES.md F2), scaled
+mildly by sf_dir so bench sees more work than smoke."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_process_spark import datagen
+from ts_process_spark.operators import analytics
+from ts_process_spark.operators.rollup import full_cascade
+
+
+def _n_convs(sf_dir: str) -> int:
+    return 60 if sf_dir.rstrip("/").endswith("0.1") else 20
+
+
+def q_signal_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterworth lowpass filtfilt over the signal fixtures
+    (ts_library.py:835-894) — grouped Arrow kernel."""
+    sig = datagen.signals(spark, cases=["lowpass"], n=2048)
+    return analytics.filter_signals(sig, "lowpass", fmax=5.0)
+
+
+def q_signal_bandpass_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-pass incl. the 1.5·N/fmin zero-pad rule
+    (ts_library.py:805-818)."""
+    sig = datagen.signals(spark, cases=["bandpass"], n=2048)
+    return analytics.filter_signals(sig, "bandpass", fmin=0.2, fmax=8.0)
+
+
+def q_signal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimate fast path (integer ratio) per ts_library.py:919-925."""
+    sig = datagen.signals(spark, cases=["lowpass"], n=2048)
+    return analytics.resample_signals(sig, 0.02)
+
+
+def q_signal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 polynomial baseline correction (ts_library.py:619-684)."""
+    sig = datagen.signals(spark, cases=["baseline"], n=2048)
+    return analytics.baseline_signals(sig, order=5)
+
+
+def q_signal_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Station rotation by 30° (ts_library.py:686-777)."""
+    sig = datagen.signals(spark, cases=["rotate30"], n=1024)
+    return analytics.rotate_station(sig, 30.0)
+
+
+def q_signal_fas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourier amplitude spectrum (ts_library.py:411-437)."""
+    sig = datagen.signals(spark, cases=["lowpass"], n=2048)
+    return analytics.fas_signals(sig, fmin=0.5, fmax=10.0)
+
+
+def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RotD50 response spectra per station (rotd50.f:185-235) — the
+    Fortran-subprocess replacement."""
+    sig = datagen.signals(spark, cases=["rotate30", "lowpass"], n=1024)
+    return analytics.rotd50_stations(sig, periods=[0.2, 0.5, 1.0, 2.0])
+
+
+def q_transcript_cascade_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship: gap-filled raw→1m tier with Gorilla/DoD
+    blobs on deterministic transcripts (exactness vs the pandas oracle
+    is tests/test_rollup.py)."""
+    raw = datagen.transcripts(spark, n_convs=_n_convs(sf_dir), seed=42)
+    return full_cascade(raw)["1m"]
+
+
+def q_transcript_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = datagen.transcripts(spark, n_convs=_n_convs(sf_dir), seed=42)
+    return full_cascade(raw)["1d"].select(
+        "conv_id", "bucket_ts", "n_turns", "n_gapfilled", "sum_text_len",
+        "peak_text_len", "text_hash",
+        F.length("ts_blob").alias("ts_blob_bytes"),
+        F.length("val_blob").alias("val_blob_bytes"),
+    )
+
+
+def queries_signals() -> dict[str, object]:
+    return {
+        "signal_lowpass": q_signal_lowpass,
+        "signal_bandpass_padded": q_signal_bandpass_padded,
+        "signal_resample_decimate": q_signal_resample,
+        "signal_baseline_correct": q_signal_baseline,
+        "signal_rotate_station": q_signal_rotate,
+        "signal_fas": q_signal_fas,
+        "signal_rotd50": q_signal_rotd50,
+        "transcript_cascade_1m": q_transcript_cascade_1m,
+        "transcript_cascade_1d": q_transcript_cascade_1d,
+    }
