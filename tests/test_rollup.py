@@ -127,30 +127,46 @@ def test_partition_invariance(spark):
 
 
 def test_text_hash_is_order_stable(spark, raw_df):
-    """text_hash at 1m == xxhash64 of texts concatenated in turn order,
-    computed through an independent (non-grouped) Spark expression."""
+    """text_hash at 1m == xxhash64 of the turn-ordered concatenation of
+    per-turn text hashes, computed through an independent (non-grouped)
+    Spark expression — and it is sensitive to any text change."""
     t1m = rollup_raw_to_1m(raw_df)
     got = {
         (r["conv_id"], r["bucket_ts"]): r["text_hash"]
         for r in t1m.select("conv_id", "bucket_ts", "text_hash").collect()
     }
-    filled = gapfill_ts(raw_df).where(F.col("ts_filled").isNotNull())
+    filled = gapfill_ts(
+        raw_df.withColumn("th", F.xxhash64("text"))
+    ).where(F.col("ts_filled").isNotNull())
     exp_rows = (
         filled.select(
             "conv_id",
             F.date_trunc("minute", "ts_filled").alias("bucket_ts"),
             "turn_idx",
-            "text",
+            F.col("th").cast("string").alias("th"),
         )
         .orderBy("conv_id", "bucket_ts", "turn_idx")
         .toPandas()
     )
     sep = "\x1f"
-    agg = exp_rows.groupby(["conv_id", "bucket_ts"], sort=False)["text"].agg(
-        sep.join
-    )
+    agg = exp_rows.groupby(["conv_id", "bucket_ts"], sort=False)["th"].agg(sep.join)
     joined = spark.createDataFrame(
-        agg.reset_index().rename(columns={"text": "joined"})
+        agg.reset_index().rename(columns={"th": "joined"})
     ).select("conv_id", "bucket_ts", F.xxhash64("joined").alias("h"))
     for r in joined.collect():
         assert got[(r["conv_id"], r["bucket_ts"])] == r["h"]
+    # sensitivity: flipping one text changes that bucket's hash
+    mutated = raw_df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == raw_df.first()["conv_id"]) & (F.col("turn_idx") == 0),
+            F.lit("MUTATED"),
+        ).otherwise(F.col("text")),
+    )
+    got2 = {
+        (r["conv_id"], r["bucket_ts"]): r["text_hash"]
+        for r in rollup_raw_to_1m(mutated)
+        .select("conv_id", "bucket_ts", "text_hash")
+        .collect()
+    }
+    assert got != got2 and len(got) == len(got2)

@@ -18,9 +18,11 @@ Tier row (TIER_SCHEMA):
   combine Catalyst does for a hash aggregate, made explicit across tiers.
 - ``mean_text_len`` / ``mean_gap_s`` are derived (sum/count), never
   cascaded directly.
-- ``text_hash``: xxhash64 over texts concatenated in ``turn_idx`` order
-  at the 1m tier (the per-turn text-equality surrogate, BASELINE.json:6);
-  coarser tiers chain-hash the child hashes in bucket order.
+- ``text_hash``: xxhash64 over the turn-ordered concatenation of
+  per-turn text hashes at the 1m tier (the per-turn text-equality
+  surrogate, BASELINE.json:6 — per-turn hashes are computed map-side so
+  no text bytes cross the shuffle); coarser tiers chain-hash the child
+  hashes in bucket order.
 - ``ts_blob`` / ``val_blob``: delta-of-delta timestamps + Gorilla XOR of
   the text-length signal for every point in the bucket; coarser tiers
   decode children, concatenate, re-encode (lossless all the way down).
@@ -111,16 +113,33 @@ def _concat_gorilla_udf(blob_arrays: pd.Series) -> pd.Series:
 
 
 def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
-    """raw transcript turns → 1-minute tier (includes gap-fill)."""
-    filled = gapfill_ts(raw).where(F.col("ts_filled").isNotNull())
+    """raw transcript turns → 1-minute tier (includes gap-fill).
+
+    Scale-critical projection: ``text`` is reduced to (length,
+    xxhash64) MAP-SIDE, before the conv_id exchange — no raw text bytes
+    ever cross the shuffle or sit in the per-bucket collected arrays.
+    ``text_hash`` is therefore the xxhash64 of the turn-ordered
+    concatenation of per-turn text hashes (an order-sensitive,
+    collision-resistant surrogate for hashing the concatenated texts;
+    the raw-grain per-turn text equality check stays at raw grain,
+    tests/test_rollup.py::test_generator_matches_oracle_frame).
+    """
+    slim = raw.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.length("text").cast("long").alias("text_len"),
+        F.xxhash64("text").alias("th"),
+    )
+    filled = gapfill_ts(slim).where(F.col("ts_filled").isNotNull())
     pts = filled.select(
         "conv_id",
         F.col("turn_idx").cast("long").alias("turn_idx"),
         F.date_trunc("minute", "ts_filled").alias("bucket_ts"),
         F.unix_micros("ts_filled").alias("ts_us"),
         F.col("gapfilled").cast("long").alias("gf"),
-        F.length("text").cast("long").alias("text_len"),
-        F.col("text"),
+        "text_len",
+        "th",
     )
     # one hash-aggregate; collect_list + array_sort pins the in-bucket
     # order to turn_idx so hashes and blobs are partition-count-invariant
@@ -134,7 +153,7 @@ def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
         F.array_sort(
-            F.collect_list(F.struct("turn_idx", "ts_us", "text_len", "text"))
+            F.collect_list(F.struct("turn_idx", "ts_us", "text_len", "th"))
         ).alias("pts"),
     )
     return grouped.select(
@@ -154,7 +173,7 @@ def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
             (F.col("last_us") - F.col("first_us")) / 1e6 / (F.col("n_turns") - 1),
         ).alias("mean_gap_s"),
         F.xxhash64(
-            F.concat_ws(_SEP, F.transform("pts", lambda p: p["text"]))
+            F.concat_ws(_SEP, F.transform("pts", lambda p: p["th"].cast("string")))
         ).alias("text_hash"),
         _encode_dod_udf(F.transform("pts", lambda p: p["ts_us"])).alias("ts_blob"),
         _encode_gorilla_udf(
