@@ -803,6 +803,130 @@ FROM events
 """
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (engine metrics pattern —
+    SURVEY §2.8 notes JSON only for lineage metrics) + aggregate."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END)
+           AS n_null_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in reference, union analog
+    compare_timeseries.py:302-310): users seen in the lexicographically
+    first event type but not the second, unioned with the reverse,
+    tagged."""
+    ev = _events(spark, sf_dir)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())[:2]
+    a = ev.where(F.col("event_type") == types[0]).select("user_id").distinct()
+    b = ev.where(F.col("event_type") == types[1]).select("user_id").distinct()
+    only_a = a.exceptAll(b).withColumn("side", F.lit("a_not_b"))
+    only_b = b.exceptAll(a).withColumn("side", F.lit("b_not_a"))
+    both = a.intersect(b).withColumn("side", F.lit("both"))
+    return only_a.unionByName(only_b).unionByName(both)
+
+
+def _sql_set_ops(sf_dir: str) -> str:
+    import duckdb
+
+    types = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )[:2]
+    return f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{types[0]}'),
+     b AS (SELECT DISTINCT user_id FROM events WHERE event_type = '{types[1]}')
+SELECT user_id, 'a_not_b' AS side FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+UNION ALL
+SELECT user_id, 'b_not_a' AS side FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+UNION ALL
+SELECT user_id, 'both' AS side FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day) — multi-dimensional rollup metrics
+    (free in Spark; SURVEY §2.4 'absent in reference')."""
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return ev.cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+    )
+
+
+SQL_CUBE_COUNTS = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c
+FROM events
+GROUP BY CUBE (event_type, day)
+"""
+
+
+def q_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event types to columns per user (conditional aggregation —
+    identical semantics spelled as CASE sums in the oracle)."""
+    ev = _events(spark, sf_dir)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())[:3]
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(_cents(F.col("value"))))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(f"`{t}`"), F.lit(0)).alias(f"sum_{t}_c") for t in types
+    ]
+    return piv.select(*cols)
+
+
+def _sql_pivot_types(sf_dir: str) -> str:
+    import duckdb
+
+    types = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT event_type FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )[:3]
+    cases = ",\n       ".join(
+        f"coalesce(sum(CASE WHEN event_type = '{t}' THEN CAST(round(value * 100) AS BIGINT) END), 0) AS sum_{t}_c"
+        for t in types
+    )
+    return f"SELECT user_id,\n       {cases}\nFROM events GROUP BY user_id"
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinalities (approx_count_distinct is available
+    for engine metrics but not cross-engine comparable)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def queries_ts() -> dict[str, object]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -828,6 +952,11 @@ def queries_ts() -> dict[str, object]:
         "haversine": q_haversine,
         "rotate30": q_rotate30,
         "unit_scale": q_unit_scale,
+        "json_props": q_json_props,
+        "set_ops": q_set_ops,
+        "cube_counts": q_cube_counts,
+        "pivot_types": q_pivot_types,
+        "distinct_users": q_distinct_users,
     }
 
 
@@ -856,4 +985,9 @@ def oracles_ts(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "haversine": SQL_HAVERSINE,
         "rotate30": SQL_ROTATE30,
         "unit_scale": SQL_UNIT_SCALE,
+        "json_props": SQL_JSON_PROPS,
+        "set_ops": _sql_set_ops(sf_dir),
+        "cube_counts": SQL_CUBE_COUNTS,
+        "pivot_types": _sql_pivot_types(sf_dir),
+        "distinct_users": SQL_DISTINCT_USERS,
     }
