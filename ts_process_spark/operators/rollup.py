@@ -52,7 +52,9 @@ from ts_process_spark.functions.codecs import (
     decode_dod,
     decode_gorilla,
     encode_dod,
+    encode_dod_batch,
     encode_gorilla,
+    encode_gorilla_batch,
 )
 from ts_process_spark.operators.gapfill import gapfill_ts
 
@@ -82,16 +84,28 @@ TIER_SCHEMA = T.StructType(
 
 @F.pandas_udf(T.BinaryType())
 def _encode_dod_udf(ts_arrays: pd.Series) -> pd.Series:
-    return ts_arrays.map(
-        lambda a: encode_dod(np.asarray(a, dtype=np.int64))
+    # whole-Arrow-batch encode: one vectorized pass over every bucket in
+    # the batch (per-blob Python overhead was the cascade's hottest cost)
+    lengths = np.fromiter((len(a) for a in ts_arrays), dtype=np.int64,
+                          count=len(ts_arrays))
+    concat = (
+        np.concatenate([np.asarray(a, dtype=np.int64) for a in ts_arrays])
+        if lengths.sum()
+        else np.array([], dtype=np.int64)
     )
+    return pd.Series(encode_dod_batch(concat, lengths), index=ts_arrays.index)
 
 
 @F.pandas_udf(T.BinaryType())
 def _encode_gorilla_udf(val_arrays: pd.Series) -> pd.Series:
-    return val_arrays.map(
-        lambda a: encode_gorilla(np.asarray(a, dtype=np.float64))
+    lengths = np.fromiter((len(a) for a in val_arrays), dtype=np.int64,
+                          count=len(val_arrays))
+    concat = (
+        np.concatenate([np.asarray(a, dtype=np.float64) for a in val_arrays])
+        if lengths.sum()
+        else np.array([], dtype=np.float64)
     )
+    return pd.Series(encode_gorilla_batch(concat, lengths), index=val_arrays.index)
 
 
 @F.pandas_udf(T.BinaryType())

@@ -54,6 +54,15 @@ def get_spark(
         # collection bounded anyway.
         .config("spark.driver.maxResultSize", "4g")
     )
+    # shuffle/spill to tmpfs when available: local mode has one disk and
+    # shuffle-file I/O was the measured scaling bottleneck on this box
+    # (on a real cluster each executor has its own local dirs)
+    shm = "/dev/shm/spark_local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
