@@ -74,3 +74,31 @@ def test_dod_regular_cadence_tiny():
     enc = encode_dod(ts)
     assert np.array_equal(decode_dod(enc), ts)
     assert len(enc) < 0.05 * 8 * len(ts)  # near-constant cadence ≈ 1 bit/point
+
+
+def test_chunked_container_roundtrip():
+    from ts_process_spark.functions.codecs import concat_blobs
+
+    rng = np.random.default_rng(4)
+    ts_parts = []
+    v_parts = []
+    t_blobs, v_blobs = [], []
+    for n in (0, 1, 5, 40):
+        ts = (1_700_000_000_000_000 + np.cumsum(
+            rng.integers(1, 1e8, size=n))).astype(np.int64)
+        v = rng.normal(0, 1, n)
+        ts_parts.append(ts)
+        v_parts.append(v)
+        t_blobs.append(encode_dod(ts))
+        v_blobs.append(encode_gorilla(v))
+    cont_t = concat_blobs(t_blobs)
+    cont_v = concat_blobs(v_blobs)
+    assert np.array_equal(decode_dod(cont_t), np.concatenate(ts_parts))
+    assert decode_gorilla(cont_v).view(np.uint64).tolist() == np.concatenate(
+        v_parts
+    ).view(np.uint64).tolist()
+    # nested containers flatten (1d blob = container of 1m chunks)
+    nested = concat_blobs([cont_t, t_blobs[2], cont_t])
+    expect = np.concatenate([np.concatenate(ts_parts), ts_parts[2],
+                             np.concatenate(ts_parts)])
+    assert np.array_equal(decode_dod(nested), expect)

@@ -157,6 +157,11 @@ def encode_dod(ts_us: np.ndarray) -> bytes:
 
 
 def decode_dod(buf: bytes) -> np.ndarray:
+    """Decode a plain or chunked-container delta-of-delta blob."""
+    return _decode_any(buf, _decode_dod_plain)
+
+
+def _decode_dod_plain(buf: bytes) -> np.ndarray:
     (n,) = struct.unpack_from("<I", buf, 0)
     out = np.empty(n, dtype=np.int64)
     if n == 0:
@@ -275,6 +280,54 @@ def encode_gorilla(values: np.ndarray, optimal: bool = False) -> bytes:
     inter[3::3], inter_l[3::3] = pay_v, pay_l
     bits = _bit_scatter(inter, inter_l)
     return _pack(bits, n)
+
+
+# -------------------------------------------------- chunked container
+# Coarser tiers do not decode+re-encode child blobs (the Gorilla-paper
+# deployment keeps immutable closed chunks for exactly this reason):
+# a 1h blob is a container of its 1m chunks, concatenated byte-wise.
+# Layout: [0xFFFFFFFF sentinel][n_chunks:u32][len_i:u32 ...][chunks...]
+# (a plain blob's first field is its point count, which never reaches
+# 2^32-1, so the sentinel is unambiguous).  decode_* transparently
+# decodes both forms; concat_blobs flattens nested containers so a 1d
+# blob holds 1m-grain chunks directly.
+
+_CHUNK_SENTINEL = 0xFFFFFFFF
+
+
+def _container_chunks(buf: bytes) -> list[bytes]:
+    (n_chunks,) = struct.unpack_from("<I", buf, 4)
+    lens = struct.unpack_from(f"<{n_chunks}I", buf, 8)
+    off = 8 + 4 * n_chunks
+    out = []
+    for ln in lens:
+        out.append(buf[off : off + ln])
+        off += ln
+    return out
+
+
+def concat_blobs(blobs: list[bytes]) -> bytes:
+    """Byte-level blob concatenation for the tier cascade — no decode."""
+    chunks: list[bytes] = []
+    for b in blobs:
+        b = bytes(b)
+        if len(b) >= 4 and struct.unpack_from("<I", b, 0)[0] == _CHUNK_SENTINEL:
+            chunks.extend(_container_chunks(b))
+        else:
+            chunks.append(b)
+    head = struct.pack("<II", _CHUNK_SENTINEL, len(chunks))
+    head += struct.pack(f"<{len(chunks)}I", *[len(c) for c in chunks])
+    return head + b"".join(chunks)
+
+
+def _decode_any(buf: bytes, plain_decode) -> np.ndarray:
+    buf = bytes(buf)
+    if len(buf) >= 4 and struct.unpack_from("<I", buf, 0)[0] == _CHUNK_SENTINEL:
+        parts = [plain_decode(c) for c in _container_chunks(buf)]
+        return (
+            np.concatenate(parts) if parts else plain_decode(struct.pack("<I", 0))
+        )
+    return plain_decode(buf)
 
 
 # -------------------------------------------------- batched encoders
@@ -461,6 +514,11 @@ def encode_gorilla_batch(concat: np.ndarray, lengths: np.ndarray) -> list[bytes]
 
 
 def decode_gorilla(buf: bytes) -> np.ndarray:
+    """Decode a plain or chunked-container Gorilla blob."""
+    return _decode_any(buf, _decode_gorilla_plain)
+
+
+def _decode_gorilla_plain(buf: bytes) -> np.ndarray:
     (n,) = struct.unpack_from("<I", buf, 0)
     out = np.empty(n, dtype=np.uint64)
     if n == 0:

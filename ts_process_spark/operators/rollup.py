@@ -25,7 +25,9 @@ Tier row (TIER_SCHEMA):
   hashes in bucket order.
 - ``ts_blob`` / ``val_blob``: delta-of-delta timestamps + Gorilla XOR of
   the text-length signal for every point in the bucket; coarser tiers
-  decode children, concatenate, re-encode (lossless all the way down).
+  concatenate child blobs byte-wise into a chunked container (no
+  decode/re-encode in the cascade — the immutable-chunk pattern from
+  the Gorilla deployment; still lossless all the way down).
 
 Execution shape (what survives a 1000-executor, 10^12-turn run):
 - One shuffle for the whole raw→1m stage: the gap-fill window partitions
@@ -49,11 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ts_process_spark.functions.codecs import (
-    decode_dod,
-    decode_gorilla,
-    encode_dod,
+    concat_blobs,
     encode_dod_batch,
-    encode_gorilla,
     encode_gorilla_batch,
 )
 from ts_process_spark.operators.gapfill import gapfill_ts
@@ -109,21 +108,11 @@ def _encode_gorilla_udf(val_arrays: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
-def _concat_dod_udf(blob_arrays: pd.Series) -> pd.Series:
-    return blob_arrays.map(
-        lambda blobs: encode_dod(
-            np.concatenate([decode_dod(bytes(b)) for b in blobs])
-        )
-    )
-
-
-@F.pandas_udf(T.BinaryType())
-def _concat_gorilla_udf(blob_arrays: pd.Series) -> pd.Series:
-    return blob_arrays.map(
-        lambda blobs: encode_gorilla(
-            np.concatenate([decode_gorilla(bytes(b)) for b in blobs])
-        )
-    )
+def _concat_blobs_udf(blob_arrays: pd.Series) -> pd.Series:
+    # cascade = pure byte-level chunk concatenation (no decode/re-encode;
+    # the Gorilla-deployment immutable-chunk pattern) — see
+    # codecs.concat_blobs; decode_* reads containers transparently
+    return blob_arrays.map(lambda blobs: concat_blobs(list(blobs)))
 
 
 def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
@@ -244,8 +233,8 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
                 _SEP, F.transform("children", lambda c: c["h"].cast("string"))
             )
         ).alias("text_hash"),
-        _concat_dod_udf(F.transform("children", lambda c: c["tb"])).alias("ts_blob"),
-        _concat_gorilla_udf(F.transform("children", lambda c: c["vb"])).alias(
+        _concat_blobs_udf(F.transform("children", lambda c: c["tb"])).alias("ts_blob"),
+        _concat_blobs_udf(F.transform("children", lambda c: c["vb"])).alias(
             "val_blob"
         ),
     )
