@@ -16,7 +16,7 @@ the expensive columns and flatter the numbers.
 Environment knobs:
     SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[N] cores (default 32)
-    BENCH_CONVS          conversations in the cascade table (default 400)
+    BENCH_CONVS          conversations in the cascade table (default 4000)
 
 Scaling evidence (local[8] vs local[32]) is produced by
 tools/scaling_run.py and recorded in BENCH/BASELINE.md.
@@ -59,7 +59,7 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_convs = int(os.environ.get("BENCH_CONVS", "400"))
+    n_convs = int(os.environ.get("BENCH_CONVS", "4000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from ts_process_spark.datagen import transcripts
