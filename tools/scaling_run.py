@@ -23,24 +23,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _membw_bw(_):
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(0, 1, 20_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        _b = a * 1.1 + 2.0
+    return 5 * 3 * 160e6 / (time.time() - t0)
+
+
 def membw_probe() -> dict:
     """STREAM-like aggregate memory-bandwidth scaling of the host: the
     achievable ceiling for memory-bound work at 8 vs 32 processes."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def bw(_):
-        a = np.random.default_rng(0).normal(0, 1, 20_000_000)
-        t0 = time.time()
-        for _ in range(5):
-            _b = a * 1.1 + 2.0
-        return 5 * 3 * 160e6 / (time.time() - t0)
-
     out = {}
     for nproc in (8, 32):
         with mp.Pool(nproc) as p:
-            out[nproc] = sum(p.map(bw, range(nproc)))
+            out[nproc] = sum(p.map(_membw_bw, range(nproc)))
     return out
 
 
