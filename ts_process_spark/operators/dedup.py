@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 
 from ts_process_spark.operators.textstats import tokens
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a too-few-partition input across the cluster before a
+    compute-heavy stage.  At real scale the scan already has thousands of
+    splits and this is a no-op; on small single-file test inputs it stops
+    a 64-hash explode+aggregate from running on one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -102,23 +113,60 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """One row per doc: ``sig`` = array of n_perm minhashes.  Shingles are
-    exploded once; each permutation is min(xxhash64(shingle, seed_p)) —
-    a single hash-aggregate with n_perm min() columns, all JVM-side."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
-    )
+    exploded once and each shingle STRING is hashed exactly once
+    (``xxhash64(sh)``); the n_perm permutations are ``min(xxhash64(h,
+    seed_p))`` over that fixed-width long — hashing 8 bytes n_perm times
+    instead of the full string n_perm times (~5× cheaper per shingle).
+    One hash-aggregate with n_perm min() columns, all JVM-side; partial
+    aggregation makes the shuffle O(docs × n_perm), never O(shingles)."""
+    src = _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    sh = src.select(
+        "id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    ).select("id", F.xxhash64("sh").alias("h"))
     mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(p))).alias(f"m{p}")
+        F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
         for p in range(n_perm)
     ]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
 
 
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int = 10_000
+) -> DataFrame:
+    """(id_a < id_b) pairs of ``id`` values sharing all ``key_cols`` —
+    groupBy + within-bucket expansion instead of a self-join, so the
+    (possibly expensive) upstream plan is evaluated ONCE, not once per
+    join side.  Buckets larger than ``max_bucket`` are degenerate (a
+    stop-shingle band at web scale) and are dropped — a silent-cap the
+    caller should surface in metrics."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size("ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature, hash each band, equi-join on (band, hash).
+    """Band the signature, hash each band, bucket on (band, hash).
     Returns distinct candidate (id_a < id_b) pairs."""
     bands = sigs.select(
         "id",
@@ -139,18 +187,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_pairs(bands, ["band", "bh"])
 
 
 def minhash_dedup_pairs(
@@ -192,9 +229,11 @@ def simhash64(
     """64-bit SimHash: per-token xxhash64, per-bit ±1 votes summed per
     doc, sign → bit.  One explode + one aggregate with 64 conditional
     sums — no UDF."""
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w")
-    ).select("id", F.xxhash64("w").alias("h"))
+    ex = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.explode(tokens(F.col(text_col))).alias("w")).select(
+        "id", F.xxhash64("w").alias("h")
+    )
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -221,9 +260,10 @@ def simhash_pairs(
     (pigeonhole: ≤3 differing chunks ⇒ some chunk equal) so the join is
     an equi-join on chunk value, not a cross join."""
     sigs = simhash64(df, text_col, id_col)
+    # Carry (id, simhash) as one struct through bucketing so the vote
+    # aggregate is evaluated once and no rejoin is needed for distances.
     chunks = sigs.select(
-        "id",
-        "simhash",
+        F.struct("id", "simhash").alias("id"),
         F.explode(
             F.array(
                 *[
@@ -237,26 +277,12 @@ def simhash_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
-    )
+    ).select("id", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
+    cand = _bucket_pairs(chunks, ["chunk", "cv"])
     return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        F.col("id_a.id").alias("id_a"),
+        F.col("id_b.id").alias("id_b"),
+        F.bit_count(
+            F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
+        ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
