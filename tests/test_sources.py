@@ -91,3 +91,138 @@ def test_station_to_signal_table(spark, tmp_path, station_pdf):
 
     out = filter_signals(sig, "lowpass", fmax=10.0, cols=("vel",))
     assert out.count() == sig.count()
+
+
+# ------------------------------------------------------------------ SMC
+
+
+def _fill(n):
+    return [f"filler line {j}" for j in range(n)]
+
+
+def _smc_v1_channel(orientation: str, values: list[float]) -> list[str]:
+    lines = ["Uncorrected accelerogram data follows"]
+    lines += _fill(2)  # 1-2
+    lines.append("hdr".ljust(37) + "rec on 01/02/03, 10:15:30.5 PST -")  # 3
+    lines.append("loc lat lon 34.05N, -118.25")  # 4
+    lines.append("TEST STATION")  # 5
+    lines.append(f"chan az {orientation} deg")  # 6
+    lines += _fill(7)  # 7-13
+    lines.append("10 15 30 500")  # 14
+    lines += _fill(12)  # 15-26
+    lines.append(f"{len(values)} points of data: 50 samples-per-sec")  # 27
+    half = len(values) // 2
+    lines.append(" ".join(f"{v:10.6f}" for v in values[:half]))
+    lines.append(" ".join(f"{v:10.6f}" for v in values[half:]))
+    return lines
+
+
+def _smc_v2_channel(orientation_code: int, acc, vel, dis) -> list[str]:
+    lines = ["Corrected accelerogram processed"]
+    lines += _fill(3)  # 1-3
+    lines.append("hdr".ljust(37) + "rec on 04/05/06, 11:22:33.4 GMT x")  # 4
+    lines.append("loc lat lon 34.05N, -118.25")  # 5
+    lines.append("TEST STATION V2")  # 6
+    lines += _fill(7)  # 7-13
+    lines.append("flt a b c d e f g 0.10 hz 23.0 hz")  # 14
+    lines += _fill(11)  # 15-25
+    lines.append("int hdr".ljust(50) + f"{orientation_code:5d}")  # 26
+    lines += _fill(18)  # 27-44
+    for kind, vals in (("accel", acc), ("veloc", vel), ("displ", dis)):
+        lines.append(
+            f"{len(acc)} points of {kind} data at equally spaced 0.02 sec"
+        )
+        lines.append(" ".join(f"{v:10.6f}" for v in vals))
+    return lines
+
+
+def _write_smc(path, channels):
+    with open(path, "w") as f:
+        for lines in channels:
+            f.write("\n".join(lines) + "\n/&\n")
+
+
+def test_smc_v1(spark, tmp_path):
+    from ts_process_spark.functions.dsp import integrate
+
+    vals = [0.001, -0.002, 0.003, -0.001, 0.002, 0.0, -0.003, 0.001]
+    path = str(tmp_path / "CETST01.V1")
+    _write_smc(path, [_smc_v1_channel("90", vals), _smc_v1_channel("360", vals)])
+    sig = formats.read_smc_signals(spark, path, version="v1").toPandas()
+    meta = formats.read_smc_metadata(spark, path, version="v1").collect()[0]
+    assert meta["network"] == "CE" and meta["station_id"] == "TST01"
+    assert meta["type"] == "V1" and meta["date"] == "01/02/03"
+    assert meta["time"] == "10:15:30.500 PST"
+    assert meta["latitude"] == "34.05N" and meta["longitude"] == "-118.25"
+    assert meta["high_pass"] == -1.0 and meta["low_pass"] == -1.0
+    c0 = sig[sig.component == 0].sort_values("i")
+    c1 = sig[sig.component == 1].sort_values("i")
+    assert list(c0["orientation_deg"].unique()) == [90.0]
+    assert list(c1["orientation_deg"].unique()) == [0.0]  # 360 -> 0
+    # g -> cm/s^2 scaling and double integration
+    acc = np.array(vals) * formats.G2CMSS
+    np.testing.assert_allclose(c0["acc"], acc, rtol=1e-9)
+    np.testing.assert_allclose(c0["vel"], integrate(acc, 0.02), rtol=1e-9)
+    np.testing.assert_allclose(
+        c0["dis"], integrate(integrate(acc, 0.02), 0.02), rtol=1e-9
+    )
+    assert (c0["dt"] == 0.02).all()
+
+
+def test_smc_v2(spark, tmp_path):
+    acc = [0.5, -1.5, 2.5, -0.5]
+    vel = [0.1, 0.2, -0.3, 0.4]
+    dis = [1.0, 2.0, 3.0, -4.0]
+    path = str(tmp_path / "CETST02.V2")
+    _write_smc(
+        path,
+        [
+            _smc_v2_channel(360, acc, vel, dis),
+            _smc_v2_channel(500, acc, vel, dis),
+            _smc_v2_channel(90, acc, vel, dis),
+        ],
+    )
+    sig = formats.read_smc_signals(spark, path, version="v2").toPandas()
+    meta = formats.read_smc_metadata(spark, path, version="v2").collect()[0]
+    assert meta["type"] == "V2" and meta["date"] == "04/05/06"
+    assert meta["time"] == "11:22:33.4 GMT"
+    assert meta["high_pass"] == 0.10 and meta["low_pass"] == 23.0
+    by_comp = {c: g.sort_values("i") for c, g in sig.groupby("component")}
+    assert by_comp[0]["orientation"].iloc[0] == "0.0"          # 360 -> 0
+    assert by_comp[0]["orientation_deg"].iloc[0] == 0.0
+    assert by_comp[1]["orientation"].iloc[0] == "up"           # 500 -> up
+    assert np.isnan(by_comp[1]["orientation_deg"].iloc[0])
+    assert by_comp[2]["orientation_deg"].iloc[0] == 90.0
+    np.testing.assert_allclose(by_comp[2]["acc"], acc, rtol=1e-9)
+    np.testing.assert_allclose(by_comp[2]["vel"], vel, rtol=1e-9)
+    np.testing.assert_allclose(by_comp[2]["dis"], dis, rtol=1e-9)
+    assert (sig["dt"] == 0.02).all()
+
+
+def test_hercules_write_read_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(4)
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "dt": [0.01] * n,
+            **{
+                f"{m}_{c}": rng.normal(0, 1, n)
+                for m in ("dis", "vel", "acc")
+                for c in ("ns", "ew", "up")
+            },
+        }
+    )
+    path = str(tmp_path / "st.her")
+    formats.write_hercules(pdf, path)
+    got = (
+        formats.read_hercules(spark, path)
+        .orderBy("t", "component")
+        .toPandas()
+    )
+    assert len(got) == 3 * n
+    h1 = got[got.component == "h1"].sort_values("t")
+    # {:>12.7f} keeps 7 decimals
+    np.testing.assert_allclose(h1["dis"], pdf["dis_ns"], atol=1e-6)
+    np.testing.assert_allclose(h1["acc"], pdf["acc_ns"], atol=1e-6)
+    ver = got[got.component == "ver"].sort_values("t")
+    np.testing.assert_allclose(ver["vel"], pdf["vel_up"], atol=1e-6)

@@ -169,6 +169,249 @@ def write_bbp(
             )
 
 
+G2CMSS = 980.665  # g → cm/s² (ts_library.py:57)
+
+_SMC_SIGNAL_SCHEMA = (
+    "station string, component int, orientation string, "
+    "orientation_deg double, i int, dt double, acc double, vel double, "
+    "dis double"
+)
+_SMC_META_SCHEMA = (
+    "station string, network string, station_id string, type string, "
+    "date string, time string, longitude string, latitude string, "
+    "high_pass double, low_pass double"
+)
+
+
+def _smc_values(signal: str) -> np.ndarray:
+    """Whitespace/fixed-width float block → float64 array.  The
+    reference splits negatives stuck to the previous value by inserting
+    a space before '-' (smc2bbp.py:72-83); data is plain decimal, so
+    this never hits an exponent sign."""
+    return np.array([float(s) for s in signal.replace("-", " -").split()],
+                    dtype=np.float64)
+
+
+def _smc_channels(text: str) -> list[list[str]]:
+    """Split a multi-channel SMC body on '/&' markers into per-channel
+    line lists (smc2bbp.py:104-118)."""
+    channels = text.split("/&")
+    del channels[-1]
+    out = [channels[0].split("\n")]
+    for ch in channels[1:]:
+        lines = ch.split("\n")
+        del lines[0]
+        out.append(lines)
+    return out
+
+
+def _norm_orientation(orientation) -> tuple[str, float | None]:
+    """Union-typed orientation (float degrees | 'up'/'down') → clean
+    (label, degrees-or-null) pair — SURVEY §7.4's normalization of the
+    reference union type (ts_library.py:75)."""
+    if isinstance(orientation, str):
+        return orientation, None
+    return str(orientation), float(orientation)
+
+
+def _parse_smc_v1(name: str, text: str) -> tuple[list[dict], dict]:
+    """SMC V1 semantics (smc2bbp.py:85-191): uncorrected accelerograms;
+    fixed line offsets for lat/lon (line 4), orientation (line 6,
+    360→0, digits→float else lowercased), date (line 3 cols 37:80) and
+    time parts (line 14); samples + sample rate on line 27; data from
+    line 28 in g, scaled by G2CMSS then integrated twice for vel/dis."""
+    from ts_process_spark.functions.dsp import integrate
+
+    base = name.split("/")[-1].split(".")[0]
+    components = []
+    meta: dict = {}
+    for lines in _smc_channels(text):
+        if lines[0][0:24].lower() != "uncorrected accelerogram":
+            raise ValueError(f"{name}: not an uncorrected accelerogram")
+        tmp = lines[4].split()
+        latitude, longitude = tmp[3][:-1], tmp[4]
+        tmp = lines[6].split()
+        orientation = tmp[2]
+        if orientation.isdigit():
+            orientation = float(int(orientation))
+            if orientation == 360:
+                orientation = 0.0
+        else:
+            orientation = orientation.lower()
+        start = lines[3][37:80].split()
+        date = start[2][:-1]
+        t = lines[14].split()
+        time = f"{t[0]}:{t[1]}:{t[2]}.{t[3]} {lines[3].split()[-2]}"
+        tmp = lines[27].split()
+        samples, dt = int(tmp[0]), 1.0 / int(tmp[4])
+        acc = _smc_values("".join(lines[28:])) * G2CMSS
+        vel = integrate(acc, dt)
+        dis = integrate(vel, dt)
+        components.append(
+            {"orientation": orientation, "dt": dt, "samples": samples,
+             "acc": acc, "vel": vel, "dis": dis}
+        )
+        meta = {
+            "network": base[0:2].upper(), "station_id": base[2:].upper(),
+            "type": "V1", "date": date, "time": time,
+            "longitude": longitude, "latitude": latitude,
+            "high_pass": -1.0, "low_pass": -1.0,
+        }
+    return components, meta
+
+
+def _parse_smc_v2(name: str, text: str) -> tuple[list[dict], dict]:
+    """SMC V2 semantics (smc2bbp.py:193-344): corrected accelerograms;
+    orientation from integer header cols 50:55 of line 26 (360→0,
+    500→'up', 600→'down'); hp/lp from line 14 tokens 8/10; samples+dt
+    from line 45; a/v/d data sections split on 'points' marker lines."""
+    base = name.split("/")[-1].split(".")[0]
+    components = []
+    meta: dict = {}
+    for lines in _smc_channels(text):
+        t0 = lines[0].split()
+        if (t0[0] + " " + t0[1]).lower() != "corrected accelerogram":
+            raise ValueError(f"{name}: not a corrected accelerogram")
+        tmp = lines[5].split()
+        latitude, longitude = tmp[3][:-1], tmp[4]
+        if latitude[-1].upper() != "N" and latitude.upper() != "S":
+            # old-format deg/min/sec fallback (smc2bbp.py:243-253)
+            latitude = "%s%s" % (
+                float(tmp[3]) + float(tmp[4]) / 60.0 + float(tmp[5][:-2]) / 3600.0,
+                tmp[5][-2],
+            )
+            longitude = "%s%s" % (
+                float(tmp[6]) + float(tmp[7]) / 60.0 + float(tmp[8][:-1]) / 3600.0,
+                tmp[8][-1],
+            )
+        orientation: float | str = float(int(lines[26][50:55]))
+        if orientation == 360:
+            orientation = 0.0
+        elif orientation == 500:
+            orientation = "up"
+        elif orientation == 600:
+            orientation = "down"
+        tmp = lines[14].split()
+        high_pass, low_pass = float(tmp[8]), float(tmp[10])
+        start = lines[4][37:80].split()
+        try:
+            date = start[2][:-1]
+            h, m, sf = start[3].split(":")
+            seconds, fraction = sf.split(".")
+            time = f"{h}:{m}:{seconds}.{fraction} {lines[4].split()[5]}"
+        except IndexError:
+            date, time = "00/00/00", "00:00:00.0 ---"
+        tmp = lines[45].split()
+        samples, dt = int(tmp[0]), float(tmp[8])
+        sections = {"a": "", "v": "", "d": ""}
+        dtype = None
+        for s in lines[45:]:
+            if "points" in s.lower():
+                kind = s.split()[3].lower()
+                dtype = {"accel": "a", "acc": "a", "veloc": "v", "vel": "v",
+                         "displ": "d", "dis": "d"}.get(kind)
+            elif dtype is not None:
+                sections[dtype] += s
+        components.append(
+            {"orientation": orientation, "dt": dt, "samples": samples,
+             "acc": _smc_values(sections["a"]),
+             "vel": _smc_values(sections["v"]),
+             "dis": _smc_values(sections["d"])}
+        )
+        meta = {
+            "network": base[0:2].upper(), "station_id": base[2:].upper(),
+            "type": "V2", "date": date, "time": time,
+            "longitude": longitude, "latitude": latitude,
+            "high_pass": high_pass, "low_pass": low_pass,
+        }
+    return components, meta
+
+
+def _smc_files(spark: SparkSession, path: str) -> DataFrame:
+    """One row per SMC file (station = file): wholetext scan — the unit
+    of parallelism at scale is the file, exactly the reference's
+    file-list fan-out loop (smc2bbp.py:518-520) made data-parallel."""
+    return (
+        spark.read.text(path, wholetext=True)
+        .withColumn("name", F.input_file_name())
+        .select("name", "value")
+    )
+
+
+def read_smc_signals(
+    spark: SparkSession, path: str, version: str = "v2"
+) -> DataFrame:
+    """Distributed SMC V1/V2 reader → tall signal rows.  Parsing runs in
+    an Arrow-batched ``mapInPandas`` over whole files (never per data
+    row); orientation is normalized out of the reference's union type
+    into (orientation:string, orientation_deg:double|null)."""
+    parse = _parse_smc_v1 if version.lower() == "v1" else _parse_smc_v2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for name, text in zip(pdf["name"], pdf["value"]):
+                comps, _ = parse(name, text)
+                station = name.split("/")[-1].split(".")[0]
+                for ci, c in enumerate(comps):
+                    label, deg = _norm_orientation(c["orientation"])
+                    n = len(c["acc"])
+                    rows.append(pd.DataFrame({
+                        "station": station, "component": ci,
+                        "orientation": label, "orientation_deg": deg,
+                        "i": np.arange(n, dtype=np.int32), "dt": c["dt"],
+                        "acc": c["acc"], "vel": c["vel"], "dis": c["dis"],
+                    }))
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    return _smc_files(spark, path).mapInPandas(gen, _SMC_SIGNAL_SCHEMA)
+
+
+def read_smc_metadata(
+    spark: SparkSession, path: str, version: str = "v2"
+) -> DataFrame:
+    """Distributed SMC station-metadata reader (the reference's
+    station_metadata dict, smc2bbp.py:180-190 / 333-343, one row per
+    file)."""
+    parse = _parse_smc_v1 if version.lower() == "v1" else _parse_smc_v2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for name, text in zip(pdf["name"], pdf["value"]):
+                _, meta = parse(name, text)
+                meta = dict(meta)
+                meta["station"] = name.split("/")[-1].split(".")[0]
+                rows.append(meta)
+            if rows:
+                yield pd.DataFrame(rows)[
+                    ["station", "network", "station_id", "type", "date",
+                     "time", "longitude", "latitude", "high_pass", "low_pass"]
+                ]
+
+    return _smc_files(spark, path).mapInPandas(gen, _SMC_META_SCHEMA)
+
+
+def write_hercules(pdf: pd.DataFrame, path: str) -> None:
+    """Hercules 10-column golden-file sink (K2): accumulated time axis
+    and the reference's exact '{:>12.3f}' + 9×'{:>12.7f}' row format
+    (file_utilities.py:482-523).  pdf columns: dt + {dis,vel,acc}_{ns,ew,up}."""
+    dt = float(pdf["dt"].iloc[0])
+    n = len(pdf)
+    time = [0.000]
+    while len(time) < n:
+        time.append(time[-1] + dt)  # reference accumulates, not i*dt
+    cols = ["dis_ns", "dis_ew", "dis_up", "vel_ns", "vel_ew", "vel_up",
+            "acc_ns", "acc_ew", "acc_up"]
+    with open(path, "w") as f:
+        f.write("# missing header \n")
+        f.write(("{:>12}" + "  {:>12}" * 9 + "\n").format("# time", *cols))
+        row_fmt = "{:>12.3f}" + "  {:>12.7f}" * 9 + "\n"
+        for i in range(n):
+            f.write(row_fmt.format(time[i], *(pdf[c].iloc[i] for c in cols)))
+
+
 def station_to_signal_table(df: DataFrame, station: str, dt: float,
                             measure: str = "vel") -> DataFrame:
     """(i, h1, h2, ver) wide rows → the tall signal table used by
