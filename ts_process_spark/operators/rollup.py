@@ -115,7 +115,19 @@ def _concat_blobs_udf(blob_arrays: pd.Series) -> pd.Series:
     return blob_arrays.map(lambda blobs: concat_blobs(list(blobs)))
 
 
-def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
+def _hash_fn(hash_name: str):
+    """Engine hash for per-turn text surrogates and tier chain-hashes.
+    ``xxhash64`` (long) is the production default; ``md5`` (hex string)
+    produces the same lattice with a hash DuckDB can replicate, making
+    the whole cascade oracle-checkable (see queries_ts.cascade_*)."""
+    if hash_name == "xxhash64":
+        return F.xxhash64
+    if hash_name == "md5":
+        return F.md5
+    raise ValueError(f"unknown hash {hash_name!r}")
+
+
+def rollup_raw_to_1m(raw: DataFrame, hash_name: str = "xxhash64") -> DataFrame:
     """raw transcript turns → 1-minute tier (includes gap-fill).
 
     Scale-critical projection: ``text`` is reduced to (length,
@@ -127,12 +139,13 @@ def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
     the raw-grain per-turn text equality check stays at raw grain,
     tests/test_rollup.py::test_generator_matches_oracle_frame).
     """
+    hfn = _hash_fn(hash_name)
     slim = raw.select(
         "conv_id",
         "turn_idx",
         "ts",
         F.length("text").cast("long").alias("text_len"),
-        F.xxhash64("text").alias("th"),
+        hfn(F.col("text")).alias("th"),
     )
     filled = gapfill_ts(slim).where(F.col("ts_filled").isNotNull())
     pts = filled.select(
@@ -175,7 +188,7 @@ def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
             F.col("n_turns") > 1,
             (F.col("last_us") - F.col("first_us")) / 1e6 / (F.col("n_turns") - 1),
         ).alias("mean_gap_s"),
-        F.xxhash64(
+        hfn(
             F.concat_ws(_SEP, F.transform("pts", lambda p: p["th"].cast("string")))
         ).alias("text_hash"),
         _encode_dod_udf(F.transform("pts", lambda p: p["ts_us"])).alias("ts_blob"),
@@ -185,8 +198,11 @@ def rollup_raw_to_1m(raw: DataFrame) -> DataFrame:
     )
 
 
-def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
+def rollup_cascade(
+    child: DataFrame, tier: str, hash_name: str = "xxhash64"
+) -> DataFrame:
     """Aggregate a finer tier (1m→1h or 1h→1d). ``tier`` ∈ {'1h','1d'}."""
+    hfn = _hash_fn(hash_name)
     trunc = TIERS[tier]
     grouped = child.groupBy(
         "conv_id", F.date_trunc(trunc, "bucket_ts").alias("bucket_ts")
@@ -228,7 +244,7 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
             / 1e6
             / (F.col("n_turns") - 1),
         ).alias("mean_gap_s"),
-        F.xxhash64(
+        hfn(
             F.concat_ws(
                 _SEP, F.transform("children", lambda c: c["h"].cast("string"))
             )
@@ -240,10 +256,12 @@ def rollup_cascade(child: DataFrame, tier: str) -> DataFrame:
     )
 
 
-def full_cascade(raw: DataFrame) -> dict[str, DataFrame]:
+def full_cascade(
+    raw: DataFrame, hash_name: str = "xxhash64"
+) -> dict[str, DataFrame]:
     """raw → {'1m': df, '1h': df, '1d': df}. Each tier derives from the
     previous one (never re-reads raw) — the continuous-aggregate chain."""
-    t1m = rollup_raw_to_1m(raw)
-    t1h = rollup_cascade(t1m, "1h")
-    t1d = rollup_cascade(t1h, "1d")
+    t1m = rollup_raw_to_1m(raw, hash_name)
+    t1h = rollup_cascade(t1m, "1h", hash_name)
+    t1d = rollup_cascade(t1h, "1d", hash_name)
     return {"1m": t1m, "1h": t1h, "1d": t1d}

@@ -927,8 +927,181 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------------- oracle-checked tier cascade
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events mapped into the engine's transcript shape
+    (BASELINE.json input_hint), with every 37th turn's ts nulled so the
+    cascade exercises linear gap-fill (rotd50.f:284-305 InterpTime
+    semantics) under oracle check."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.when(F.col("event_id") % 37 != 0, F.col("ts")).alias("ts"),
+    )
+
+
+def q_cascade_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship raw→1m rollup (gap-fill + one hash-aggregate), in
+    md5-hash mode so every non-blob column — including the per-turn-text
+    chain hash — is DuckDB-checkable."""
+    from ts_process_spark.operators.rollup import rollup_raw_to_1m
+
+    t = rollup_raw_to_1m(_events_as_transcripts(spark, sf_dir), hash_name="md5")
+    return t.select(
+        "conv_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_turns",
+        "n_gapfilled",
+        "sum_text_len",
+        "peak_text_len",
+        F.col("mean_text_len"),
+        "first_turn_idx",
+        "last_turn_idx",
+        F.unix_micros("first_ts").alias("first_us"),
+        F.unix_micros("last_ts").alias("last_us"),
+        F.col("mean_gap_s"),
+        "text_hash",
+    )
+
+
+def q_cascade_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full raw→1m→1h→1d chain; the 1d text_hash is a 3-deep chain of
+    bucket-ordered child hashes, reproduced in the oracle's nested
+    CTEs — an exact-tier-point check across every retention tier."""
+    from ts_process_spark.operators.rollup import full_cascade
+
+    t = full_cascade(_events_as_transcripts(spark, sf_dir), hash_name="md5")["1d"]
+    return t.select(
+        "conv_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_turns",
+        "n_gapfilled",
+        "sum_text_len",
+        "peak_text_len",
+        "first_turn_idx",
+        "last_turn_idx",
+        F.unix_micros("first_ts").alias("first_us"),
+        F.unix_micros("last_ts").alias("last_us"),
+        F.col("mean_gap_s"),
+        "text_hash",
+    )
+
+
+_SQL_CASCADE_FILLED = """
+WITH raw AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS turn_idx,
+           length(props) AS text_len,
+           md5(props) AS th,
+           CASE WHEN event_id % 37 <> 0 THEN epoch_us(ts) END AS us
+    FROM events
+), marked AS (
+    SELECT *,
+        last_value(CASE WHEN us IS NOT NULL THEN turn_idx END IGNORE NULLS)
+            OVER w_f AS prev_i,
+        last_value(CASE WHEN us IS NOT NULL THEN us END IGNORE NULLS)
+            OVER w_f AS prev_us,
+        first_value(CASE WHEN us IS NOT NULL THEN turn_idx END IGNORE NULLS)
+            OVER w_b AS next_i,
+        first_value(CASE WHEN us IS NOT NULL THEN us END IGNORE NULLS)
+            OVER w_b AS next_us
+    FROM raw
+    WINDOW
+        w_f AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING),
+        w_b AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), filled AS (
+    SELECT conv_id, turn_idx, text_len, th,
+        CASE WHEN us IS NULL THEN 1 ELSE 0 END AS gf,
+        CASE WHEN us IS NOT NULL THEN us
+             WHEN prev_us IS NOT NULL AND next_us IS NOT NULL
+                  AND next_i <> prev_i
+                 THEN prev_us + ((next_us - prev_us) * (turn_idx - prev_i))
+                      // (next_i - prev_i)
+             ELSE coalesce(prev_us, next_us) END AS us_f
+    FROM marked
+), t1m AS (
+    SELECT conv_id,
+        date_trunc('minute', make_timestamp(us_f)) AS bucket_1m,
+        count(*) AS n_turns,
+        sum(gf) AS n_gapfilled,
+        sum(text_len) AS sum_text_len,
+        max(text_len) AS peak_text_len,
+        min(turn_idx) AS first_turn_idx,
+        max(turn_idx) AS last_turn_idx,
+        min(us_f) AS first_us,
+        max(us_f) AS last_us,
+        md5(string_agg(th, chr(31) ORDER BY turn_idx)) AS text_hash
+    FROM filled
+    WHERE us_f IS NOT NULL
+    GROUP BY 1, 2
+)
+"""
+
+SQL_CASCADE_1M_EVENTS = _SQL_CASCADE_FILLED + f"""
+SELECT conv_id,
+    strftime(bucket_1m, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+    n_turns, n_gapfilled, sum_text_len, peak_text_len,
+    sum_text_len::DOUBLE / n_turns AS mean_text_len,
+    first_turn_idx, last_turn_idx, first_us, last_us,
+    CASE WHEN n_turns > 1
+         THEN (last_us - first_us) / 1e6 / (n_turns - 1) END AS mean_gap_s,
+    text_hash
+FROM t1m
+"""
+
+SQL_CASCADE_1D_EVENTS = _SQL_CASCADE_FILLED + f"""
+, t1h AS (
+    SELECT conv_id,
+        date_trunc('hour', bucket_1m) AS bucket_1h,
+        sum(n_turns) AS n_turns,
+        sum(n_gapfilled) AS n_gapfilled,
+        sum(sum_text_len) AS sum_text_len,
+        max(peak_text_len) AS peak_text_len,
+        min(first_turn_idx) AS first_turn_idx,
+        max(last_turn_idx) AS last_turn_idx,
+        min(first_us) AS first_us,
+        max(last_us) AS last_us,
+        md5(string_agg(text_hash, chr(31) ORDER BY bucket_1m)) AS text_hash
+    FROM t1m GROUP BY 1, 2
+), t1d AS (
+    SELECT conv_id,
+        date_trunc('day', bucket_1h) AS bucket_1d,
+        sum(n_turns) AS n_turns,
+        sum(n_gapfilled) AS n_gapfilled,
+        sum(sum_text_len) AS sum_text_len,
+        max(peak_text_len) AS peak_text_len,
+        min(first_turn_idx) AS first_turn_idx,
+        max(last_turn_idx) AS last_turn_idx,
+        min(first_us) AS first_us,
+        max(last_us) AS last_us,
+        md5(string_agg(text_hash, chr(31) ORDER BY bucket_1h)) AS text_hash
+    FROM t1h GROUP BY 1, 2
+)
+SELECT conv_id,
+    strftime(bucket_1d, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+    n_turns, n_gapfilled, sum_text_len, peak_text_len,
+    first_turn_idx, last_turn_idx, first_us, last_us,
+    CASE WHEN n_turns > 1
+         THEN (last_us - first_us) / 1e6 / (n_turns - 1) END AS mean_gap_s,
+    text_hash
+FROM t1d
+"""
+
+
 def queries_ts() -> dict[str, object]:
     return {
+        "cascade_1m_events": q_cascade_1m_events,
+        "cascade_1d_events": q_cascade_1d_events,
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
@@ -962,6 +1135,8 @@ def queries_ts() -> dict[str, object]:
 
 def oracles_ts(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
+        "cascade_1m_events": SQL_CASCADE_1M_EVENTS,
+        "cascade_1d_events": SQL_CASCADE_1D_EVENTS,
         "rollup_1m": SQL_ROLLUP_1M,
         "rollup_1h": _sql_rollup_tier("hour"),
         "rollup_1d": _sql_rollup_tier("day"),
