@@ -1,0 +1,100 @@
+"""Physical-plan shape regression tests — the 100-TB guarantees.
+
+These pin the *plan*, not the results: filter/column pushdown reaching
+the parquet scan, broadcast (never shuffle) joins against small dims,
+exactly one exchange per cascade tier, whole-stage codegen on the
+rollup aggregate, and no cartesian/nested-loop joins in the near-dup
+pipelines.  A regression here is invisible at test scale but fatal at
+1000 executors, which is why they are asserted, not eyeballed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_process_spark import datagen
+from ts_process_spark.operators.rollup import full_cascade
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .where(F.col("user_id") == 7)
+        .select("event_id", "value")
+    )
+    plan = _plan(ev)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(user_id,7)" in m.group(1), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # projection pruned to the 2 selected + 1 filter column — never full width
+    assert cols == {"event_id", "user_id", "value"}, cols
+
+
+def test_cascade_one_exchange_per_tier(spark):
+    raw = datagen.transcripts(spark, n_convs=10, seed=3)
+    tiers = full_cascade(raw)
+    for tier, want in (("1m", 1), ("1h", 2), ("1d", 3)):
+        plan = _plan(tiers[tier])
+        n = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n == want, f"{tier}: {n} exchanges (want {want})\n{plan}"
+
+
+def test_rollup_aggregate_shape(spark):
+    """The 1m tier's aggregate must (a) combine map-side — partial
+    aggregation before the exchange is what keeps the shuffle
+    O(buckets) instead of O(turns) — and (b) touch Python only through
+    the single Arrow batch stage for the blob codecs (never row-wise)."""
+    raw = datagen.transcripts(spark, n_convs=5, seed=3)
+    plan = _plan(full_cascade(raw)["1m"])
+    assert "partial_count" in plan and "partial_collect_list" in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan  # no per-row Python, ever
+
+
+def test_jvm_rollup_is_hash_aggregate(spark):
+    """The pure-JVM events rollup (no array payloads) must stay in
+    codegen-capable HashAggregate with no Python stages at all."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["rollup_1m"](spark, SF_DIR))
+    assert "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_dim_join_is_broadcast(spark):
+    import __spark_entry__ as E
+
+    df = E.queries()["user_nation_rollup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_neardup_has_no_cartesian(spark):
+    import __spark_entry__ as E
+
+    for name in ("doc_minhash_neardup", "doc_simhash_pairs"):
+        df = E.queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_gapfill_windows_are_growing_frames(spark):
+    """The O(n²) regression guard: both gap-fill lookups must be
+    incremental growing frames, never unbounded-following re-scans."""
+    from ts_process_spark.operators.gapfill import gapfill_ts
+
+    raw = datagen.transcripts(spark, n_convs=5, seed=3)
+    plan = _plan(gapfill_ts(raw))
+    assert "unboundedfollowing" not in plan.lower(), plan
