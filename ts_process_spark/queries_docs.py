@@ -209,7 +209,7 @@ def q_emb_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_bucket_assignments(_embs(spark, sf_dir), n_planes=8)
 
 
-def _srp_sql() -> str:
+def _srp_bucket_expr() -> str:
     planes = similarity.rademacher_hyperplanes(8, 64, 42)
     terms = []
     for p, row in enumerate(planes):
@@ -217,17 +217,42 @@ def _srp_sql() -> str:
         terms.append(
             f"(CASE WHEN list_dot_product(q, {lit}) >= 0 THEN 1 ELSE 0 END) * {1 << p}"
         )
+    return " + ".join(terms)
+
+
+def _srp_sql() -> str:
     return f"""
 WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings)
-SELECT id, {" + ".join(terms)} AS bucket FROM e
+SELECT id, {_srp_bucket_expr()} AS bucket FROM e
 """
 
 
 def q_emb_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed approximate top-3 neighbors (equi-join within SRP
-    buckets); rows-only — recall vs brute force asserted in
-    tests/test_similarity.py."""
+    buckets).  Fully deterministic — exact integer bucket + quantized
+    cosine + id tie-break — so despite being "approximate" search it is
+    value-checked against the DuckDB oracle; recall vs brute force is
+    additionally asserted in tests/test_training_ops.py."""
     return similarity.srp_ann_topk(_embs(spark, sf_dir), k=3, n_planes=8)
+
+
+def _sql_emb_srp_ann() -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+b AS (SELECT id, q, {_srp_bucket_expr()} AS bucket FROM e),
+scored AS (
+    SELECT a.id AS query_id, bb.id AS neighbor_id,
+           round(list_dot_product(a.q, bb.q)
+                 / (sqrt(list_dot_product(a.q, a.q))
+                    * sqrt(list_dot_product(bb.q, bb.q))), 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id <> bb.id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +336,7 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_fingerprint": None,  # xxhash64-based; rows-only
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_buckets": _srp_sql(),
-        "emb_srp_ann": None,  # approximate path; recall tested vs brute force
+        "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_centroids": SQL_EMB_CENTROIDS,
         "emb_neardup": SQL_EMB_NEARDUP,
         "multimodal_features": None,  # mapInPandas plumbing; rows-only
