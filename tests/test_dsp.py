@@ -178,3 +178,41 @@ def test_polimod_recovers_coefficients():
     y = 3.0 * x**2 + 0.5 * x**3
     p = dsp.polimod(x, y, 3, 1)  # fit x^2..x^3
     np.testing.assert_allclose(p, [3.0, 0.5], rtol=1e-8)
+
+
+def test_spline_matches_linear_on_linear_data():
+    # a natural spline through collinear points is that line
+    x = np.arange(10, dtype=float)
+    y = 3.0 * x + 1.0
+    xq = np.linspace(0.0, 9.0, 37)
+    np.testing.assert_allclose(dsp.spline_interp(x, y, xq), 3.0 * xq + 1.0,
+                               atol=1e-12)
+
+
+def test_spline_interpolates_knots_exactly():
+    rng = np.random.default_rng(11)
+    x = np.sort(rng.uniform(0, 10, 20))
+    y = rng.normal(0, 1, 20)
+    np.testing.assert_allclose(dsp.spline_interp(x, y, x), y, atol=1e-12)
+
+
+def test_spline_beats_linear_on_smooth_curve():
+    x = np.linspace(0, 2 * np.pi, 20)
+    y = np.sin(x)
+    xq = np.linspace(0.3, 2 * np.pi - 0.3, 101)
+    err_spline = np.abs(dsp.spline_interp(x, y, xq) - np.sin(xq)).max()
+    err_linear = np.abs(np.interp(xq, x, y) - np.sin(xq)).max()
+    assert err_spline < err_linear / 5
+
+
+def test_interp_fft_preserves_original_samples():
+    # band-limited signal: the 2x-upsampled series must pass through
+    # the original samples and reproduce the underlying sine between them
+    n = 256
+    t = np.arange(n) / n
+    sig = np.sin(2 * np.pi * 5 * t) + 0.5 * np.cos(2 * np.pi * 12 * t)
+    up = dsp.interp_fft(sig, 4)
+    np.testing.assert_allclose(up[::4], sig, atol=1e-9)
+    t4 = np.arange(4 * n) / (4 * n)
+    truth = np.sin(2 * np.pi * 5 * t4) + 0.5 * np.cos(2 * np.pi * 12 * t4)
+    np.testing.assert_allclose(up, truth, atol=1e-9)

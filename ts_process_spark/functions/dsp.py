@@ -359,6 +359,65 @@ def resample(data: np.ndarray, old_dt: float, new_dt: float) -> np.ndarray:
     return sinc_interp(data, old_dt, new_dt)
 
 
+def spline_second_derivs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Natural cubic spline second derivatives (the reference's
+    InterpSpline setup, rotd50/spline.f:1-34, natural-boundary branch
+    y2[0]=y2[n-1]=0).  Thomas-algorithm sweep — sequential recurrence by
+    nature (like `smooth`); a fixture-parity kernel, not the hot path."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(x)
+    y2 = np.zeros(n)
+    u = np.zeros(n)
+    for i in range(1, n - 1):
+        sig = (x[i] - x[i - 1]) / (x[i + 1] - x[i - 1])
+        p = sig * y2[i - 1] + 2.0
+        y2[i] = (sig - 1.0) / p
+        u[i] = (
+            6.0
+            * (
+                (y[i + 1] - y[i]) / (x[i + 1] - x[i])
+                - (y[i] - y[i - 1]) / (x[i] - x[i - 1])
+            )
+            / (x[i + 1] - x[i - 1])
+            - sig * u[i - 1]
+        ) / p
+    for k in range(n - 2, -1, -1):
+        y2[k] = y2[k] * y2[k + 1] + u[k]
+    return y2
+
+
+def spline_interp(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Evaluate the natural cubic spline at query points (vectorized
+    splint, rotd50/splint.f:1-25: bisection bracket + cubic blend)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xq = np.asarray(xq, dtype=np.float64)
+    y2 = spline_second_derivs(x, y)
+    hi = np.clip(np.searchsorted(x, xq), 1, len(x) - 1)
+    lo = hi - 1
+    h = x[hi] - x[lo]
+    a = (x[hi] - xq) / h
+    b = (xq - x[lo]) / h
+    return a * y[lo] + b * y[hi] + (
+        (a**3 - a) * y2[lo] + (b**3 - b) * y2[hi]
+    ) * (h**2) / 6.0
+
+
+def interp_fft(data: np.ndarray, factor: int) -> np.ndarray:
+    """Band-limited upsample by an integer factor via spectrum zero-pad
+    (the reference's InterpFreq, rotd50/ft_th.f:32-57: halve the Nyquist
+    bin, conjugate-symmetric fill, inverse FFT) — expressed with rfft /
+    irfft, which implements exactly that symmetry."""
+    data = np.asarray(data, dtype=np.float64)
+    n = len(data)
+    spec = np.fft.rfft(data)
+    if n % 2 == 0:
+        spec[-1] *= 0.5  # split the Nyquist bin across ±f_nyq
+    out = np.fft.irfft(spec, n=n * factor) * factor
+    return out
+
+
 # ------------------------------------------------------------ baseline
 
 
