@@ -135,3 +135,26 @@ def test_multimodal_plumbing(spark, docs):
     assert by_id[0]["feature"] == by_id[1]["feature"]
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\xff\xd8\xff")
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF with nprobe=2/16 cells must recover a solid fraction of the
+    true top-3 and never report a better cosine than brute force."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(embs, k=3, n_queries=10).collect()
+    }
+    ivf_rows = similarity.ivf_ann_topk(
+        embs, k=3, n_cells=16, nprobe=2, n_queries=10
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # approximate, but far from random
+    # candidate restriction can only lower the best cosine, never raise it
+    best_exact = {}
+    for r in similarity.cosine_topk(embs, k=1, n_queries=10).collect():
+        best_exact[r.query_id] = r.cosine
+    for r in ivf_rows:
+        if r.rank == 1:
+            assert r.cosine <= best_exact[r.query_id] + 1e-9

@@ -84,6 +84,91 @@ def cosine_topk(
     )
 
 
+def ivf_cell_assignments(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: the n_cells lowest-id vectors act as the
+    (deterministic) codebook; every vector is assigned to the centroid
+    with the highest quantized cosine (lowest cell id breaks ties).
+
+    Scale shape: the codebook is tiny → broadcast nested-loop against
+    it is O(n·n_cells) map-side work with NO shuffle of the vectors;
+    the argmax is a per-id window over n_cells rows.  At 100 TB the
+    codebook would come from sampled k-means, but assignment — the
+    expensive distributed step — has exactly this plan."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    cells = base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cell_id"), F.col("q").alias("cv")
+    )
+    scored = base.join(F.broadcast(cells)).select(
+        "id", "q", "cell_id", F.round(cosine_q(F.col("q"), F.col("cv")), 6).alias("cc")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cc").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "q", "cell_id")
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its nprobe best cells
+    and brute-forces only vectors assigned there — the inverted-file
+    pattern (candidate set ≈ nprobe/n_cells of the data).  Deterministic
+    end to end (quantized cosine, id tie-breaks) → DuckDB-checkable."""
+    from pyspark.sql import Window
+
+    assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
+    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    cells = base.orderBy("id").limit(n_cells).select(
+        F.col("id").alias("cell_id"), F.col("q").alias("cv")
+    )
+    queries = base.orderBy("id").limit(n_queries).select(
+        F.col("id").alias("query_id"), F.col("q").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qc").desc(), F.col("cell_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cells))
+        .select(
+            "query_id", "qv", "cell_id",
+            F.round(cosine_q(F.col("qv"), F.col("cv")), 6).alias("qc"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+    scored = probes.join(assigned, "cell_id").where(
+        F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(cosine_q(F.col("qv"), F.col("q")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def rademacher_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
     """Deterministic ±1 hyperplanes (sign random projection)."""
     rng = np.random.default_rng([seed, n_planes, dim])

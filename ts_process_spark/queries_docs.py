@@ -255,6 +255,58 @@ SELECT query_id, rank, neighbor_id, cosine FROM (
 """
 
 
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 (16 lowest-id vectors as the deterministic
+    codebook, nprobe=2) — the inverted-file ANN scale path; value-checked
+    against the DuckDB oracle."""
+    return similarity.ivf_ann_topk(
+        _embs(spark, sf_dir), k=3, n_cells=16, nprobe=2, n_queries=10
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _sql_emb_ivf_ann() -> str:
+    return f"""
+WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16),
+ass AS (
+    SELECT id, q, cell_id FROM (
+        SELECT e.id, e.q, cells.cell_id,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY {_cos_sql("e.q", "cells.cv")} DESC, cells.cell_id)
+                   AS rn
+        FROM e CROSS JOIN cells
+    ) WHERE rn = 1
+),
+qs AS (SELECT id AS query_id, q AS qv FROM e ORDER BY id LIMIT 10),
+probes AS (
+    SELECT query_id, qv, cell_id FROM (
+        SELECT qs.query_id, qs.qv, cells.cell_id,
+               row_number() OVER (PARTITION BY qs.query_id
+                   ORDER BY {_cos_sql("qs.qv", "cells.cv")} DESC, cells.cell_id)
+                   AS rn
+        FROM qs CROSS JOIN cells
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.query_id, a.id AS neighbor_id, {_cos_sql("p.qv", "a.q")} AS cosine
+    FROM probes p JOIN ass a USING (cell_id)
+    WHERE a.id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroids_by_label(_embs(spark, sf_dir))
 
@@ -318,6 +370,7 @@ def queries_docs() -> dict[str, object]:
         "emb_knn": q_emb_knn,
         "emb_srp_buckets": q_emb_srp_buckets,
         "emb_srp_ann": q_emb_srp_ann,
+        "emb_ivf_ann": q_emb_ivf_ann,
         "emb_centroids": q_emb_centroids,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
@@ -337,6 +390,7 @@ def oracles_docs() -> dict[str, str | None]:
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_buckets": _srp_sql(),
         "emb_srp_ann": _sql_emb_srp_ann(),
+        "emb_ivf_ann": _sql_emb_ivf_ann(),
         "emb_centroids": SQL_EMB_CENTROIDS,
         "emb_neardup": SQL_EMB_NEARDUP,
         "multimodal_features": None,  # mapInPandas plumbing; rows-only
