@@ -927,6 +927,76 @@ FROM events GROUP BY event_type
 """
 
 
+# ----------------------------------------- oracle-checked streaming tier
+
+
+def q_streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming raw→1m over the events table (10-minute
+    watermark, tumbling 1-minute windows, append mode, driven to
+    completion with processAllAvailable).  Append emits FINALIZED
+    windows only — window_end ≤ max(event time) − watermark — and the
+    DuckDB oracle applies exactly that cutoff, so even the streaming
+    path is value-checked."""
+    import os
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.window("ts", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_c"),
+            F.max(F.abs(F.col("value"))).alias("peak_abs_value"),
+        )
+    )
+    name = "q1m_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_events",
+        "sum_value_c",
+        F.round("peak_abs_value", R).alias("peak_abs_value"),
+    )
+
+
+SQL_STREAMING_ROLLUP_1M = f"""
+WITH w AS (
+    SELECT user_id, date_trunc('minute', ts) AS b,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_c,
+           round(max(abs(value)), {R}) AS peak_abs_value
+    FROM events GROUP BY 1, 2
+), mx AS (SELECT max(ts) AS m FROM events)
+SELECT user_id, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       n_events, sum_value_c, peak_abs_value
+FROM w, mx
+WHERE b + INTERVAL 1 MINUTE <= m - INTERVAL 10 MINUTE
+"""
+
+
 # ------------------------------------------- oracle-checked tier cascade
 
 
@@ -1102,6 +1172,7 @@ def queries_ts() -> dict[str, object]:
     return {
         "cascade_1m_events": q_cascade_1m_events,
         "cascade_1d_events": q_cascade_1d_events,
+        "streaming_rollup_1m": q_streaming_rollup_1m,
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
@@ -1137,6 +1208,7 @@ def oracles_ts(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "cascade_1m_events": SQL_CASCADE_1M_EVENTS,
         "cascade_1d_events": SQL_CASCADE_1D_EVENTS,
+        "streaming_rollup_1m": SQL_STREAMING_ROLLUP_1M,
         "rollup_1m": SQL_ROLLUP_1M,
         "rollup_1h": _sql_rollup_tier("hour"),
         "rollup_1d": _sql_rollup_tier("day"),
