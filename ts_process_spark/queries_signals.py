@@ -67,6 +67,32 @@ def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rotd50_stations(sig, periods=[0.2, 0.5, 1.0, 2.0])
 
 
+def q_signal_spline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-cubic-spline 2× upsample per series (the reference's
+    InterpSpline, rotd50.f:311-348 / spline.f / splint.f) as a grouped
+    Arrow kernel; exactness pinned by tests/test_dsp.py."""
+    import pandas as pd
+    import numpy as np
+
+    from ts_process_spark.functions.dsp import spline_interp
+
+    sig = datagen.signals(spark, cases=["lowpass"], n=1024)
+
+    def up(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        x = pdf["i"].to_numpy(np.float64)
+        y = pdf["vel"].to_numpy(np.float64)
+        xq = np.arange(0.0, x[-1] + 0.5, 0.5)
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "t_idx": xq,
+             "vel": spline_interp(x, y, xq)}
+        )
+
+    return sig.groupBy("series_id").applyInPandas(
+        up, "series_id string, t_idx double, vel double"
+    )
+
+
 def q_transcript_cascade_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship: gap-filled raw→1m tier with Gorilla/DoD
     blobs on deterministic transcripts (exactness vs the pandas oracle
@@ -94,6 +120,7 @@ def queries_signals() -> dict[str, object]:
         "signal_rotate_station": q_signal_rotate,
         "signal_fas": q_signal_fas,
         "signal_rotd50": q_signal_rotd50,
+        "signal_spline_upsample": q_signal_spline_upsample,
         "transcript_cascade_1m": q_transcript_cascade_1m,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
