@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "doc_token_stats",
     "emb_knn",
     "emb_srp_ann",
+    "emb_ivf_ann",
+    "cascade_1m_events",
 ]
 
 
