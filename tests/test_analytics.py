@@ -170,3 +170,30 @@ def test_baseline_signals_matches_kernel(sig_df, sig_pdf):
         sig_pdf[("lowpass", "h1")]["acc"].to_numpy(), 0.01, 1.0, 5
     )
     np.testing.assert_array_equal(got, dmod)
+
+
+def test_process_signals_dt_matches_kernel_composition(spark, sig_df, sig_pdf):
+    """The fused pipeline stage == interp → tukey → lowpass applied
+    locally, bit-identically (process_timeseries_dt order,
+    ts_library.py:992-1043)."""
+    got = (
+        analytics.process_signals_dt(sig_df, new_dt=0.02, fmax=5.0, taper=64)
+        .toPandas()
+        .sort_values(["series_id", "i"])
+    )
+    for (case, comp), pdf in sig_pdf.items():
+        sid = f"{case}-{comp}"
+        g = got[got.series_id == sid]
+        old_dt = float(pdf["dt"].iloc[0])
+        want = {}
+        for c in ("acc", "vel", "dis"):
+            x = dsp.resample(pdf[c].to_numpy(np.float64), old_dt, 0.02)
+            want[c] = x
+        n = min(len(v) for v in want.values())
+        w = dsp.tukey(n, 64.0 / n)
+        for c in want:
+            want[c] = dsp.filter_data(want[c][:n] * w, 0.02, "lowpass", fmax=5.0, N=4)
+        assert len(g) == n
+        for c in ("acc", "vel", "dis"):
+            np.testing.assert_array_equal(g[c].to_numpy(), want[c])
+    assert (got["dt"] == 0.02).all()

@@ -110,6 +110,49 @@ def resample_signals(df: DataFrame, new_dt: float) -> DataFrame:
     return _per_series(df, fn)
 
 
+def process_signals_dt(
+    df: DataFrame,
+    new_dt: float,
+    fmax: float | None = None,
+    taper: int | None = None,
+) -> DataFrame:
+    """The reference's main pipeline stage (process_station_dt /
+    process_timeseries_dt, ts_library.py:964-1043) as ONE grouped Arrow
+    pass per series: interp to new_dt → Tukey taper with fraction
+    taper/samples (:1028-1035) → Butterworth lowpass N=4 @ fmax
+    (:1037-1041) — same order, one shuffle, no intermediate
+    materialization between the three kernels."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        old_dt = float(pdf["dt"].iloc[0])
+        cols = {
+            c: dsp.resample(pdf[c].to_numpy(dtype=np.float64), old_dt, new_dt)
+            for c in _SIG_COLS
+        }
+        n = min(len(v) for v in cols.values())
+        cols = {c: v[:n] for c, v in cols.items()}
+        if taper is not None:
+            w = dsp.tukey(n, 1.0 * taper / n)
+            cols = {c: v * w for c, v in cols.items()}
+        if fmax is not None:
+            cols = {
+                c: dsp.filter_data(v, new_dt, "lowpass", fmax=fmax, N=4)
+                for c, v in cols.items()
+            }
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "component": pdf["component"].iloc[0],
+                "orientation_deg": pdf["orientation_deg"].iloc[0],
+                "i": np.arange(n, dtype=np.int32),
+                "dt": new_dt,
+                **cols,
+            }
+        )
+
+    return _per_series(df, fn)
+
+
 def integrate_signals(df: DataFrame, col: str = "acc", out: str = "integral") -> DataFrame:
     """Exact reference cumulative trapezoid (ts_library.py:96-109) —
     done in the UDF in i-order so float summation order is pinned."""

@@ -67,6 +67,15 @@ def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rotd50_stations(sig, periods=[0.2, 0.5, 1.0, 2.0])
 
 
+def q_signal_process_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's main pipeline stage fused into one Arrow pass
+    (process_timeseries_dt, ts_library.py:992-1043): interp→taper→
+    lowpass; bit-equality vs the kernel composition is
+    tests/test_analytics.py::test_process_signals_dt_matches_kernel_composition."""
+    sig = datagen.signals(spark, cases=["lowpass", "rotate30"], n=2048)
+    return analytics.process_signals_dt(sig, new_dt=0.02, fmax=5.0, taper=64)
+
+
 def q_signal_spline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-cubic-spline 2× upsample per series (the reference's
     InterpSpline, rotd50.f:311-348 / spline.f / splint.f) as a grouped
@@ -121,6 +130,7 @@ def queries_signals() -> dict[str, object]:
         "signal_fas": q_signal_fas,
         "signal_rotd50": q_signal_rotd50,
         "signal_spline_upsample": q_signal_spline_upsample,
+        "signal_process_dt": q_signal_process_dt,
         "transcript_cascade_1m": q_transcript_cascade_1m,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
