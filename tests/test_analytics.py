@@ -197,3 +197,61 @@ def test_process_signals_dt_matches_kernel_composition(spark, sig_df, sig_pdf):
         for c in ("acc", "vel", "dis"):
             np.testing.assert_array_equal(g[c].to_numpy(), want[c])
     assert (got["dt"] == 0.02).all()
+
+
+def test_synchronize_stations_matches_reference_order(spark):
+    """3 stations, obs stamped between sim start and eq time: obs is
+    front-padded, everyone end-cut to the min common duration, and the
+    result is bit-identical to applying the reference's op order
+    (process_timeseries.py:45-141) locally."""
+    from ts_process_spark.datagen import SIGNAL_SCHEMA
+
+    dt = 0.01
+    lens = {"sta": 1000, "stb": 950, "stc": 980}
+    pdfs = {}
+    for k, (st, n) in enumerate(lens.items()):
+        rng = np.random.default_rng(100 + k)
+        for comp, deg in (("h1", 0.0), ("h2", 90.0), ("ver", None)):
+            pdfs[(st, comp)] = pd.DataFrame(
+                {
+                    "series_id": f"{st}-{comp}",
+                    "component": comp,
+                    "orientation_deg": np.nan if deg is None else deg,
+                    "i": np.arange(n, dtype=np.int32),
+                    "dt": dt,
+                    "acc": rng.normal(0, 1, n),
+                    "vel": rng.normal(0, 1, n),
+                    "dis": rng.normal(0, 1, n),
+                }
+            )
+    df = spark.createDataFrame(pd.concat(pdfs.values(), ignore_index=True),
+                               SIGNAL_SCHEMA)
+    got = (
+        analytics.synchronize_stations(
+            df, obs_station="sta", stamp_s=5.0, eq_time_s=6.0, leading=2.0
+        )
+        .toPandas()
+        .sort_values(["series_id", "i"])
+    )
+    # everyone ends up the same length
+    counts = got.groupby("series_id")["i"].count()
+    assert set(counts) == {950}, counts
+
+    # local oracle in the reference's exact op order
+    m = 20
+    for (st, comp), pdf in pdfs.items():
+        want = {c: pdf[c].to_numpy() for c in ("acc", "vel", "dis")}
+        if st == "sta":  # sim_start(4) < stamp(5) < eq(6): pad front 100
+            want = {c: dsp.pad_zeros_with_taper(v, 100, "front", m)
+                    for c, v in want.items()}
+        # target duration = min(11.0, 9.5, 9.8) = 9.5s
+        excess = len(want["acc"]) * dt - 9.5
+        num = int(round(excess / dt)) if excess > 1e-12 else 0
+        num = int(excess / dt + 1e-9)
+        if num > 0:
+            want = {c: dsp.cut_with_taper(v, num, "end", m)
+                    for c, v in want.items()}
+        g = got[got.series_id == f"{st}-{comp}"]
+        for c in ("acc", "vel", "dis"):
+            np.testing.assert_array_equal(g[c].to_numpy(), want[c],
+                                          err_msg=f"{st}-{comp}:{c}")

@@ -359,6 +359,29 @@ def resample(data: np.ndarray, old_dt: float, new_dt: float) -> np.ndarray:
     return sinc_interp(data, old_dt, new_dt)
 
 
+def pad_zeros_with_taper(x: np.ndarray, num: int, flag: str, m: int) -> np.ndarray:
+    """seism_appendzeros (ts_library.py:481-525): Kaiser-taper the
+    existing edge FIRST, then append ``num`` zeros at ``flag`` end."""
+    x = np.asarray(x, dtype=np.float64)
+    if num <= 0:
+        return x
+    if m != 0:
+        x = x * taper_window(flag, m, len(x))
+    zeros = np.zeros(num)
+    return np.append(zeros, x) if flag == "front" else np.append(x, zeros)
+
+
+def cut_with_taper(x: np.ndarray, num: int, flag: str, m: int) -> np.ndarray:
+    """seism_cutting (ts_library.py:527-573): drop ``num`` samples from
+    ``flag`` end, then Kaiser-taper the new edge.  No-op (like the
+    reference's error path) if the cut would consume the series."""
+    x = np.asarray(x, dtype=np.float64)
+    if num <= 0 or num >= len(x):
+        return x
+    x = x[num:] if flag == "front" else x[:-num]
+    return x * taper_window(flag, m, len(x))
+
+
 def spline_second_derivs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Natural cubic spline second derivatives (the reference's
     InterpSpline setup, rotd50/spline.f:1-34, natural-boundary branch

@@ -153,6 +153,119 @@ def process_signals_dt(
     return _per_series(df, fn)
 
 
+def plan_synchronization(
+    info: dict[str, tuple[float, int]],
+    obs_station: str | None,
+    stamp_s: float | None,
+    eq_time_s: float,
+    leading: float,
+    sync_end_time: bool = True,
+) -> dict[str, list[tuple[str, int]]]:
+    """Reference synchronize_all_stations
+    (process_timeseries.py:45-141) as a pure plan: given per-station
+    (dt, samples), emit the ordered (op, num_samples) list per station.
+    Ops: cut_front / pad_front / cut_end / pad_end, with num = the
+    reference's int(t_diff/dt) truncation.  Sample counts evolve
+    analytically, so the WHOLE sync is one Arrow pass downstream."""
+    ops: dict[str, list[tuple[str, int]]] = {s: [] for s in info}
+    n = {s: info[s][1] for s in info}
+    dt = {s: info[s][0] for s in info}
+
+    # 1. start alignment (only with an observed stamp)
+    if obs_station is not None and stamp_s is not None:
+        sim_start = eq_time_s - leading
+        o = obs_station
+        if stamp_s < sim_start:
+            num = int((sim_start - stamp_s) / dt[o])
+            if 0 < num < n[o]:
+                ops[o].append(("cut_front", num))
+                n[o] -= num
+        elif stamp_s > eq_time_s:
+            num = int((stamp_s - eq_time_s) / dt[o])
+            ops[o].append(("pad_front", num))
+            n[o] += num
+            for s in info:
+                if s == o:
+                    continue
+                num_s = int((eq_time_s - sim_start) / dt[s])
+                if 0 < num_s < n[s]:
+                    ops[s].append(("cut_front", num_s))
+                    n[s] -= num_s
+        else:
+            num = int((stamp_s - sim_start) / dt[o])
+            ops[o].append(("pad_front", num))
+            n[o] += num
+
+    # 2. truncate everyone to the min common duration
+    if sync_end_time:
+        target = min(dt[s] * n[s] for s in info)
+        for s in info:
+            excess = dt[s] * n[s] - target
+            num = int(excess / dt[s])
+            if 0 < num < n[s]:
+                ops[s].append(("cut_end", num))
+                n[s] -= num
+
+    # 3. one-sample repair: pad any station 1 short of the longest
+    total = max(n.values())
+    for s in info:
+        if n[s] == total - 1:
+            ops[s].append(("pad_end", 1))
+            n[s] += 1
+    return ops
+
+
+def synchronize_stations(
+    df: DataFrame,
+    obs_station: str | None = None,
+    stamp_s: float | None = None,
+    eq_time_s: float = 0.0,
+    leading: float = 0.0,
+    sync_end_time: bool = True,
+    m: int = 20,
+) -> DataFrame:
+    """Distributed synchronize_all_stations: a tiny (station, dt,
+    samples) aggregate feeds the driver-side plan; the cut/pad/taper
+    ops then run in ONE grouped Arrow pass over the (large) sample data
+    — per-component, exactly the reference loop order.  Requires a
+    ``station`` column (series_id = '<station>-<component>')."""
+    sdf = _station_col(df)
+    rows = (
+        sdf.groupBy("station", "series_id")
+        .agg(F.first("dt").alias("dt"), F.count(F.lit(1)).alias("n"))
+        .groupBy("station")
+        .agg(F.first("dt").alias("dt"), F.max("n").alias("n"))
+        .collect()
+    )
+    info = {r["station"]: (float(r["dt"]), int(r["n"])) for r in rows}
+    plan = plan_synchronization(
+        info, obs_station, stamp_s, eq_time_s, leading, sync_end_time
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        station = pdf["series_id"].iloc[0].rsplit("-", 1)[0]
+        cols = {c: pdf[c].to_numpy(dtype=np.float64) for c in _SIG_COLS}
+        for op, num in plan.get(station, []):
+            flag = "front" if op.endswith("front") else "end"
+            kern = dsp.cut_with_taper if op.startswith("cut") else (
+                dsp.pad_zeros_with_taper
+            )
+            cols = {c: kern(v, num, flag, m) for c, v in cols.items()}
+        nn = len(cols["acc"])
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "component": pdf["component"].iloc[0],
+                "orientation_deg": pdf["orientation_deg"].iloc[0],
+                "i": np.arange(nn, dtype=np.int32),
+                "dt": float(pdf["dt"].iloc[0]),
+                **cols,
+            }
+        )
+
+    return _per_series(df, fn)
+
+
 def integrate_signals(df: DataFrame, col: str = "acc", out: str = "integral") -> DataFrame:
     """Exact reference cumulative trapezoid (ts_library.py:96-109) —
     done in the UDF in i-order so float summation order is pinned."""

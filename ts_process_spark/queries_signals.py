@@ -67,6 +67,22 @@ def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rotd50_stations(sig, periods=[0.2, 0.5, 1.0, 2.0])
 
 
+def q_signal_synchronize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """synchronize_all_stations (process_timeseries.py:45-141): obs
+    station stamped 1s after sim start → front zero-pad + common-end
+    truncation + 1-sample repair, as plan-driven cut/pad/taper ops in
+    one Arrow pass.  Bit-equality vs the reference op order is
+    tests/test_analytics.py::test_synchronize_stations_matches_reference_order."""
+    sig = datagen.signals(spark, cases=["lowpass", "rotate30"], n=2048)
+    # shorten one station so the end-sync actually truncates
+    sig = sig.where(
+        (F.col("series_id").startswith("rotate30")) | (F.col("i") < 2000)
+    )
+    return analytics.synchronize_stations(
+        sig, obs_station="lowpass", stamp_s=5.0, eq_time_s=6.0, leading=2.0
+    )
+
+
 def q_signal_process_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's main pipeline stage fused into one Arrow pass
     (process_timeseries_dt, ts_library.py:992-1043): interp→taper→
@@ -131,6 +147,7 @@ def queries_signals() -> dict[str, object]:
         "signal_rotd50": q_signal_rotd50,
         "signal_spline_upsample": q_signal_spline_upsample,
         "signal_process_dt": q_signal_process_dt,
+        "signal_synchronize": q_signal_synchronize,
         "transcript_cascade_1m": q_transcript_cascade_1m,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
