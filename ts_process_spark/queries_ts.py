@@ -548,17 +548,21 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     cand = ev.join(orders, "custkey").where(F.col("o_orderdate") <= F.col("ts"))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    # max_by over the (date, orderkey) composite instead of a
+    # row_number sort-window: a hash aggregate with map-side partial
+    # combine — the shuffle carries one row per event, not one per
+    # candidate (the difference between O(events) and O(events×orders)
+    # shuffle bytes at scale).
+    picked = cand.groupBy("event_id").agg(
+        F.max_by(
+            F.struct("o_orderkey", "o_totalprice"),
+            F.struct("o_orderdate", "o_orderkey"),
+        ).alias("best")
     )
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "event_id",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            _cents(F.col("o_totalprice")).alias("asof_totalprice_c"),
-        )
+    return picked.select(
+        "event_id",
+        F.col("best.o_orderkey").alias("asof_orderkey"),
+        _cents(F.col("best.o_totalprice")).alias("asof_totalprice_c"),
     )
 
 
