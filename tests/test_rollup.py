@@ -170,3 +170,46 @@ def test_text_hash_is_order_stable(spark, raw_df):
         .collect()
     }
     assert got != got2 and len(got) == len(got2)
+
+
+def test_cascade_edge_convs(spark):
+    """Degenerate conversations: all-null-ts (never resolvable → dropped
+    entirely), single-turn (one-point blobs must round-trip), and a
+    two-turn conv straddling a day boundary (tier buckets split/merge
+    correctly)."""
+    import datetime as dt
+
+    from ts_process_spark.datagen import TRANSCRIPT_SCHEMA
+
+    t0 = dt.datetime(2030, 1, 1, 23, 59, 30)
+    rows = [
+        # all ts null — gap-fill has no anchor; conv must vanish
+        ("nullconv", 0, "user", "aaa", None, None),
+        ("nullconv", 1, "assistant", "bbb", None, None),
+        # single turn
+        ("single", 0, "user", "hello", None, t0),
+        # straddles midnight: 2 minute-buckets, 2 hour-buckets, 2 days
+        ("straddle", 0, "user", "x" * 10, None, t0),
+        ("straddle", 1, "assistant", "y" * 20, None,
+         t0 + dt.timedelta(seconds=60)),
+    ]
+    raw = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in TRANSCRIPT_SCHEMA]),
+        TRANSCRIPT_SCHEMA,
+    )
+    tiers = full_cascade(raw)
+    t1m = tiers["1m"].toPandas().sort_values(["conv_id", "bucket_ts"])
+    assert "nullconv" not in set(t1m.conv_id)
+    single = t1m[t1m.conv_id == "single"]
+    assert len(single) == 1 and single.n_turns.iloc[0] == 1
+    # one-point blobs decode to exactly the one point
+    ts = decode_dod(bytes(single.ts_blob.iloc[0]))
+    vals = decode_gorilla(bytes(single.val_blob.iloc[0]))
+    assert len(ts) == 1 and len(vals) == 1 and vals[0] == 5.0  # len("hello")
+    strad = t1m[t1m.conv_id == "straddle"]
+    assert len(strad) == 2 and list(strad.n_turns) == [1, 1]
+    t1d = tiers["1d"].toPandas()
+    sd = t1d[t1d.conv_id == "straddle"].sort_values("bucket_ts")
+    assert len(sd) == 2  # two day buckets
+    assert list(sd.n_turns) == [1, 1]
+    assert sd.peak_text_len.tolist() == [10, 20]
