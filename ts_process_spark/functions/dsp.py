@@ -573,6 +573,17 @@ ROTD50_PERIODS = np.array(
      0.75, 1.0, 1.5, 2.0, 3.0, 4.0, 5.0, 7.5, 10.0]
 )  # a practical subset of the fixed 63-period grid (rotd50.f:36-45)
 
+ROTD50_PERIODS_FULL = np.array(
+    [0.010, 0.011, 0.012, 0.013, 0.015, 0.017, 0.020, 0.022, 0.025, 0.029,
+     0.032, 0.035, 0.040, 0.045, 0.050, 0.055, 0.060, 0.065, 0.075, 0.085,
+     0.100, 0.110, 0.120, 0.130, 0.150, 0.170, 0.200, 0.220, 0.240, 0.260,
+     0.280, 0.300, 0.350, 0.400, 0.450, 0.500, 0.550, 0.600, 0.650, 0.750,
+     0.850, 1.000, 1.100, 1.200, 1.300, 1.500, 1.700, 2.000, 2.200, 2.400,
+     2.600, 2.800, 3.000, 3.500, 4.000, 4.400, 5.000, 5.500, 6.000, 6.500,
+     7.500, 8.500, 10.000]
+)  # the reference's EXACT 63-period response-spectrum domain
+#    (rotd50.f:36-45, damping 0.05)
+
 
 def rotd50(
     acc1: np.ndarray,

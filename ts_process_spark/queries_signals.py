@@ -67,6 +67,30 @@ def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rotd50_stations(sig, periods=[0.2, 0.5, 1.0, 2.0])
 
 
+def q_signal_rotd50_grid63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RotD50 over the reference's EXACT 63-period output domain
+    (rotd50.f:36-45) with its Famp1.5 first-crossing scalar
+    (rotd50.f:238-246) appended per station."""
+    from pyspark.sql import Window
+
+    from ts_process_spark.functions.dsp import ROTD50_PERIODS_FULL
+
+    sig = datagen.signals(spark, cases=["rotate30"], n=1024)
+    rd = analytics.rotd50_stations(sig, periods=list(ROTD50_PERIODS_FULL))
+    # Famp1.5 (rotd50.f:238-246): frequency 1/T of the FIRST period
+    # past the anchor where rotd50/rotd50[T=0.01] >= 1.5 — min period
+    # over the filtered set, inverted; pure JVM (SURVEY O4)
+    w = Window.partitionBy("station")
+    ref0 = F.first(F.when(F.col("period") == 0.01, F.col("rotd50")), True).over(w)
+    famp = 1.0 / F.min(
+        F.when(
+            (F.col("period") > 0.01) & (F.col("rotd50") >= 1.5 * ref0),
+            F.col("period"),
+        )
+    ).over(w)
+    return rd.withColumn("famp15", famp)
+
+
 def q_signal_synchronize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """synchronize_all_stations (process_timeseries.py:45-141): obs
     station stamped 1s after sim start → front zero-pad + common-end
@@ -148,6 +172,7 @@ def queries_signals() -> dict[str, object]:
         "signal_spline_upsample": q_signal_spline_upsample,
         "signal_process_dt": q_signal_process_dt,
         "signal_synchronize": q_signal_synchronize,
+        "signal_rotd50_grid63": q_signal_rotd50_grid63,
         "transcript_cascade_1m": q_transcript_cascade_1m,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
