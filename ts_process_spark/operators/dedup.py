@@ -29,6 +29,15 @@ from pyspark.sql import functions as F
 
 from ts_process_spark.operators.textstats import tokens
 
+def hash60(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5(col).
+    Bit-identical in Spark (``conv(substr(md5(x),1,15),16,10)``) and
+    DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``) — the hash that
+    makes MinHash/SimHash oracle-checkable.  xxhash64 stays the
+    production default (cheaper); md5 mode exists for the value gate."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a too-few-partition input across the cluster before a
     compute-heavy stage.  At real scale the scan already has thousands of
@@ -111,6 +120,7 @@ def minhash_signatures(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """One row per doc: ``sig`` = array of n_perm minhashes.  Shingles are
     exploded once and each shingle STRING is hashed exactly once
@@ -120,13 +130,17 @@ def minhash_signatures(
     One hash-aggregate with n_perm min() columns, all JVM-side; partial
     aggregation makes the shuffle O(docs × n_perm), never O(shingles)."""
     src = _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    hfn = F.xxhash64 if hash_mode == "xxhash64" else hash60
     sh = src.select(
         "id", F.explode(shingles(F.col(text_col), k)).alias("sh")
-    ).select("id", F.xxhash64("sh").alias("h"))
-    mins = [
-        F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"m{p}")
-        for p in range(n_perm)
-    ]
+    ).select("id", hfn(F.col("sh")).alias("h"))
+    if hash_mode == "xxhash64":
+        perm = lambda p: F.xxhash64(F.col("h"), F.lit(p))  # noqa: E731
+    else:
+        perm = lambda p: hash60(  # noqa: E731
+            F.concat(F.col("h").cast("string"), F.lit(f"|{p}"))
+        )
+    mins = [F.min(perm(p)).alias(f"m{p}") for p in range(n_perm)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
 
@@ -164,23 +178,27 @@ def _bucket_pairs(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    n_bands: int = 16,
+    rows_per_band: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature, hash each band, bucket on (band, hash).
     Returns distinct candidate (id_a < id_b) pairs."""
+
+    def band_hash(b: int) -> Column:
+        vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        if hash_mode == "xxhash64":
+            return F.xxhash64(*vals)
+        return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
+
     bands = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bh"),
+                        F.lit(b).alias("band"), band_hash(b).alias("bh")
                     )
                     for b in range(n_bands)
                 ]
@@ -197,11 +215,12 @@ def minhash_dedup_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidate
     pairs → exact word-set Jaccard verification ≥ threshold."""
-    sigs = minhash_signatures(df, n_perm, k, text_col, id_col)
-    cands = lsh_candidate_pairs(sigs)
+    sigs = minhash_signatures(df, n_perm, k, text_col, id_col, hash_mode)
+    cands = lsh_candidate_pairs(sigs, hash_mode=hash_mode)
     ws = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("ws"),
@@ -224,26 +243,32 @@ def minhash_dedup_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, per-bit ±1 votes summed per
-    doc, sign → bit.  One explode + one aggregate with 64 conditional
-    sums — no UDF."""
+    """SimHash: per-token hash, per-bit ±1 votes summed per doc,
+    sign → bit.  One explode + one aggregate with conditional sums —
+    no UDF.  64 bits with xxhash64 (production); 60 bits with the
+    md5-derived hash60 (oracle-checkable)."""
+    n_bits = 64 if hash_mode == "xxhash64" else 60
+    hfn = F.xxhash64 if hash_mode == "xxhash64" else hash60
     ex = _ensure_parallelism(
         df.select(F.col(id_col).alias("id"), F.col(text_col))
     ).select("id", F.explode(tokens(F.col(text_col))).alias("w")).select(
-        "id", F.xxhash64("w").alias("h")
+        "id", hfn(F.col("w")).alias("h")
     )
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = ex.groupBy("id").agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -253,13 +278,19 @@ def simhash64(
 
 
 def simhash_pairs(
-    df: DataFrame, max_hamming: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming.  Test-scale form is a
-    self-join; the scale path blocks on 4×16-bit signature chunks first
+    self-join; the scale path blocks on 4-chunk signature pieces first
     (pigeonhole: ≤3 differing chunks ⇒ some chunk equal) so the join is
     an equi-join on chunk value, not a cross join."""
-    sigs = simhash64(df, text_col, id_col)
+    chunk_bits = 16 if hash_mode == "xxhash64" else 15
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash64(df, text_col, id_col, hash_mode)
     # Carry (id, simhash) as one struct through bucketing so the vote
     # aggregate is evaluated once and no rejoin is needed for distances.
     chunks = sigs.select(
@@ -269,8 +300,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("cv"),
                     )
                     for c in range(4)

@@ -78,6 +78,112 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _h60_sql(e: str) -> str:
+    """DuckDB twin of dedup.hash60 (60-bit md5-derived int)."""
+    return f"(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+def q_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup in md5 hash mode: the SAME pipeline shape
+    as doc_minhash_neardup (shingle → 64-permutation signature → 16×4
+    bands → bucket candidates → exact Jaccard ≥ 0.9) but with
+    md5-derived hashes DuckDB can replicate — so the whole LSH lattice
+    is value-checked, not just row-counted."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(docs, threshold=0.9, hash_mode="md5").select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+def _sql_minhash_md5(n_perm: int = 64, n_bands: int = 16, rpb: int = 4) -> str:
+    perm_exprs = [
+        _h60_sql("h::VARCHAR || '|%d'" % p) for p in range(n_perm)
+    ]
+    mins = ",\n        ".join(
+        f"min({perm_exprs[p]}) AS m{p}" for p in range(n_perm)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"m{b * rpb + r}::VARCHAR" for r in range(rpb)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH w AS (SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents),
+sh0 AS (
+    SELECT id, CASE WHEN len(ws) >= 3
+        THEN list_transform(generate_series(1, len(ws) - 2),
+                            i -> array_to_string(ws[i:i+2], ' '))
+        ELSE [array_to_string(ws, ' ')] END AS shs
+    FROM w
+),
+e AS (SELECT id, {_h60_sql("sh")} AS h
+      FROM (SELECT id, unnest(shs) AS sh FROM sh0)),
+sig AS (SELECT id, {mins} FROM e GROUP BY id),
+bands AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+wsets AS (SELECT doc_id AS id, list_distinct({_WORDS_SQL}) AS ws
+          FROM documents)
+SELECT id_a, id_b, n_inter, n_union FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.ws, b.ws)) AS n_inter,
+           len(list_distinct(list_concat(a.ws, b.ws))) AS n_union
+    FROM cand c
+    JOIN wsets a ON a.id = c.id_a
+    JOIN wsets b ON b.id = c.id_b
+) WHERE n_inter >= 0.9 * n_union
+"""
+
+
+def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup in md5 hash mode (60-bit signature, 4×15-bit
+    chunk blocking, Hamming ≤ 10) — value-checked against DuckDB."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_pairs(docs, max_hamming=10, hash_mode="md5")
+
+
+def _sql_simhash_md5(n_bits: int = 60, max_hamming: int = 10) -> str:
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    chunk_selects = "\n    UNION ALL ".join(
+        f"SELECT id, simhash, {c} AS chunk, (simhash >> {c * 15}) & 32767 AS cv"
+        " FROM sim"
+        for c in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS wd FROM documents),
+hh AS (SELECT id, {_h60_sql("wd")} AS h FROM t),
+votes AS (SELECT id, {votes} FROM hh GROUP BY id),
+sim AS (SELECT id, {sim} AS simhash FROM votes),
+chunks AS (
+    {chunk_selects}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming ≤ 10 with 16-bit chunk
     blocking; rows-only (xxhash64-based)."""
@@ -363,6 +469,8 @@ def queries_docs() -> dict[str, object]:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_pairs": q_simhash_pairs,
+        "doc_minhash_md5_neardup": q_minhash_md5_neardup,
+        "doc_simhash_md5_pairs": q_simhash_md5_pairs,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -383,6 +491,8 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
         "doc_minhash_neardup": None,  # xxhash64-based; rows-only
         "doc_simhash_pairs": None,  # xxhash64-based; rows-only
+        "doc_minhash_md5_neardup": _sql_minhash_md5(),
+        "doc_simhash_md5_pairs": _sql_simhash_md5(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_langid": _langid_sql(),
