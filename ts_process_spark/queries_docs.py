@@ -279,6 +279,30 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.with_fingerprint(docs).select("doc_id", "fingerprint")
 
 
+def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint in md5 hash mode — the order-
+    sensitive recurrence acc=(acc*33+h)%M value-checked via DuckDB
+    list_reduce."""
+    docs = _docs(spark, sf_dir)
+    return textstats.with_fingerprint(docs, hash_mode="md5").select(
+        "doc_id", "fingerprint"
+    )
+
+
+def _sql_fingerprint_md5() -> str:
+    m = 2147483647
+    h = _h60_sql("w")
+    return f"""
+SELECT doc_id,
+    list_reduce(
+        list_prepend(0::BIGINT,
+            list_transform({_WORDS_SQL}, w -> {h} % {m})),
+        (a, b) -> (a * 33 + b) % {m}
+    ) AS fingerprint
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- embeddings
 
 _Q_SQL = "[CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) for x in embedding]"
@@ -470,6 +494,7 @@ def queries_docs() -> dict[str, object]:
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_pairs": q_simhash_pairs,
         "doc_minhash_md5_neardup": q_minhash_md5_neardup,
+        "doc_fingerprint_md5": q_doc_fingerprint_md5,
         "doc_simhash_md5_pairs": q_simhash_md5_pairs,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -492,6 +517,7 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_minhash_neardup": None,  # xxhash64-based; rows-only
         "doc_simhash_pairs": None,  # xxhash64-based; rows-only
         "doc_minhash_md5_neardup": _sql_minhash_md5(),
+        "doc_fingerprint_md5": _sql_fingerprint_md5(),
         "doc_simhash_md5_pairs": _sql_simhash_md5(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_quality": SQL_DOC_QUALITY,
