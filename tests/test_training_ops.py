@@ -158,3 +158,18 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     for r in ivf_rows:
         if r.rank == 1:
             assert r.cosine <= best_exact[r.query_id] + 1e-9
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Chain a-b, b-c collapses to one component (transitivity); a
+    disjoint pair forms its own; keep = min id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    comps = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 10, 11)], "doc_id int")
+    keep = {r.doc_id: (r.component, r.keep)
+            for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert keep == {1: (1, True), 2: (1, False), 3: (1, False),
+                    7: (7, True), 10: (10, True), 11: (10, False)}

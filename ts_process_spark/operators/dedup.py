@@ -317,3 +317,77 @@ def simhash_pairs(
             F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
         ).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------- components / keep-list
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over (id_a, id_b) duplicate pairs by
+    iterative min-label propagation: every vertex repeatedly adopts the
+    smallest label among itself and its neighbors; converges in
+    O(graph diameter) rounds (dup clusters are tiny, so 2-4 rounds in
+    practice; ``max_iter`` bounds pathological chains).  Each round is
+    two shuffles (edge join + vertex min-aggregate) — the standard
+    framework-free CC, deterministic regardless of partitioning.
+    Returns (id, component) with component = min id in the cluster."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The step that actually deduplicates: resolve near-dup pairs into
+    components and emit one row per document with its component id and
+    a keep flag (keep = smallest id in the component; singletons keep
+    themselves).  Left-joining components onto the corpus keeps the
+    non-duplicated majority broadcast-free."""
+    comps = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("component"), F.col("id")).alias("component"),
+            (F.coalesce(F.col("component"), F.col("id")) == F.col("id")).alias(
+                "keep"
+            ),
+        )
+    )

@@ -191,6 +191,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, max_hamming=10)
 
 
+def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: md5-mode MinHash near-dup pairs →
+    connected components (iterative min-label propagation) → one row
+    per document with (component, keep).  The DuckDB oracle recomputes
+    the same components with a recursive CTE — transitive closure
+    value-checked, not just pair lists."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.9, hash_mode="md5")
+    return dedup.dedup_keep_list(docs, pairs)
+
+
+def _sql_dedup_keep() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+{_sql_minhash_md5()}
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+), comp AS (
+    SELECT u AS id, min(r) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       coalesce(c.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 # -------------------------------------------------------------- textstats
 
 
@@ -495,6 +528,7 @@ def queries_docs() -> dict[str, object]:
         "doc_simhash_pairs": q_simhash_pairs,
         "doc_minhash_md5_neardup": q_minhash_md5_neardup,
         "doc_fingerprint_md5": q_doc_fingerprint_md5,
+        "doc_dedup_keep": q_doc_dedup_keep,
         "doc_simhash_md5_pairs": q_simhash_md5_pairs,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -518,6 +552,7 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_simhash_pairs": None,  # xxhash64-based; rows-only
         "doc_minhash_md5_neardup": _sql_minhash_md5(),
         "doc_fingerprint_md5": _sql_fingerprint_md5(),
+        "doc_dedup_keep": _sql_dedup_keep(),
         "doc_simhash_md5_pairs": _sql_simhash_md5(),
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_quality": SQL_DOC_QUALITY,
