@@ -177,6 +177,27 @@ def _bucket_pairs(
     )
 
 
+def bucket_cap_metrics(
+    keyed: DataFrame, key_cols: list[str], max_bucket: int = 10_000
+) -> DataFrame:
+    """Surface what `_bucket_pairs`' degenerate-bucket cap drops (the
+    no-silent-caps rule): one row with total buckets, dropped buckets,
+    and dropped candidate-pair count — run alongside a dedup job so the
+    coverage loss is a recorded metric, not an invisible truncation."""
+    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+            "n_dropped_buckets"
+        ),
+        F.sum(
+            F.when(
+                F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
+            ).otherwise(0)
+        ).cast("long").alias("n_dropped_pairs"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     n_bands: int = 16,
