@@ -153,6 +153,24 @@ def process_signals_dt(
     return _per_series(df, fn)
 
 
+def remove_padding(df: DataFrame, padding: int) -> DataFrame:
+    """remove_bbp_padding semantics
+    (/root/reference/ts_process/remove_bbp_padding.py:49-110): drop
+    ``padding`` rows from the front and back of every series and
+    renumber the grid from 0 — pure JVM (count window + filter +
+    re-index), no UDF."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id")
+    n = F.count(F.lit(1)).over(w)
+    return (
+        df.withColumn("_n", n)
+        .where((F.col("i") >= padding) & (F.col("i") < F.col("_n") - padding))
+        .withColumn("i", (F.col("i") - padding).cast("int"))
+        .drop("_n")
+    )
+
+
 def plan_synchronization(
     info: dict[str, tuple[float, int]],
     obs_station: str | None,

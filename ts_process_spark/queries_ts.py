@@ -931,6 +931,41 @@ FROM events GROUP BY event_type
 """
 
 
+def q_remove_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 remove_padding (remove_bbp_padding.py:49-110) on the events
+    stream: drop the first/last 5 rows per user in (ts, event_id)
+    order and renumber from 0."""
+    pad = 5
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    df = ev.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        df.where((F.col("i") >= pad) & (F.col("i") < F.col("n") - pad))
+        .select(
+            "user_id",
+            (F.col("i") - pad).alias("i"),
+            "event_id",
+            _cents(F.col("value")).alias("value_c"),
+        )
+    )
+
+
+SQL_REMOVE_PADDING = """
+WITH t AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+)
+SELECT user_id, i - 5 AS i, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_c
+FROM t WHERE i >= 5 AND i < n - 5
+"""
+
+
 # ----------------------------------------- oracle-checked streaming tier
 
 
@@ -1177,6 +1212,7 @@ def queries_ts() -> dict[str, object]:
         "cascade_1m_events": q_cascade_1m_events,
         "cascade_1d_events": q_cascade_1d_events,
         "streaming_rollup_1m": q_streaming_rollup_1m,
+        "remove_padding": q_remove_padding,
         "rollup_1m": q_rollup_1m,
         "rollup_1h": q_rollup_1h,
         "rollup_1d": q_rollup_1d,
@@ -1213,6 +1249,7 @@ def oracles_ts(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cascade_1m_events": SQL_CASCADE_1M_EVENTS,
         "cascade_1d_events": SQL_CASCADE_1D_EVENTS,
         "streaming_rollup_1m": SQL_STREAMING_ROLLUP_1M,
+        "remove_padding": SQL_REMOVE_PADDING,
         "rollup_1m": SQL_ROLLUP_1M,
         "rollup_1h": _sql_rollup_tier("hour"),
         "rollup_1d": _sql_rollup_tier("day"),
