@@ -173,3 +173,27 @@ def test_connected_components_chain_and_singleton(spark):
             for r in dedup.dedup_keep_list(docs, pairs).collect()}
     assert keep == {1: (1, True), 2: (1, False), 3: (1, False),
                     7: (7, True), 10: (10, True), 11: (10, False)}
+
+
+def test_hash60_matches_duckdb(spark):
+    """The cornerstone of every md5-mode oracle: Spark's
+    conv(substr(md5(x),1,15),16,10) must equal DuckDB's
+    ('0x'||substr(md5(x),1,15))::BIGINT for arbitrary strings."""
+    import duckdb
+
+    rng = __import__("numpy").random.default_rng(3)
+    strs = [
+        "".join(chr(c) for c in rng.integers(32, 127, size=rng.integers(0, 40)))
+        for _ in range(200)
+    ] + ["", " ", "émoji ✓ ünïcode", "\t\n", "0x" * 30]
+    sdf = spark.createDataFrame([(s,) for s in strs], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", dedup.hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strs:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == want, s
