@@ -42,19 +42,21 @@ def _noop(df) -> float:
 
 BENCH_QUERIES = [
     "rollup_1m",
-    "rollup_1h",
+    "rollup_tiers",
     "gapfill_linear",
     "integrate_trapezoid",
     "sessionize",
     "asof_join",
     "pricing_summary",
     "top3_per_supplier",
-    "doc_minhash_neardup",
+    "doc_minhash_md5_neardup",
     "doc_token_stats",
     "emb_knn",
     "emb_srp_ann",
     "emb_ivf_ann",
     "cascade_1m_events",
+    "window_kernels",
+    "rotmax_scan",
 ]
 
 

@@ -81,13 +81,21 @@ def test_dim_join_is_broadcast(spark):
 
 
 def test_neardup_has_no_cartesian(spark):
+    """Both the xxhash64 production paths (not driver-registered) and
+    the md5 registry entries must stay bucketed equi-joins."""
     import __spark_entry__ as E
+    from ts_process_spark.operators import dedup
 
-    for name in ("doc_minhash_neardup", "doc_simhash_pairs"):
-        df = E.queries()[name](spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        dedup.minhash_dedup_pairs(docs, threshold=0.9),
+        dedup.simhash_pairs(docs, max_hamming=3),
+        E.queries()["doc_minhash_md5_neardup"](spark, SF_DIR),
+        E.queries()["doc_simhash_md5_pairs"](spark, SF_DIR),
+    ):
         plan = _plan(df)
-        assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_gapfill_windows_are_growing_frames(spark):

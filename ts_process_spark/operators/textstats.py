@@ -28,15 +28,23 @@ def tokens(col: Column) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens, n_unique_tokens, total token chars, type/token ratio."""
+    """n_tokens, n_unique_tokens, total token chars, type/token ratio.
+
+    All counters are int64: int32 would overflow on 100 TB-scale corpus
+    aggregates, and the driver's oracle hash is dtype-strict (DuckDB
+    ``len()``/``list_aggregate 'sum'`` are BIGINT-kind)."""
     toks = tokens(F.col(text_col))
     return (
         df.withColumn("_toks", toks)
-        .withColumn("n_tokens", F.size("_toks"))
-        .withColumn("n_unique_tokens", F.size(F.array_distinct("_toks")))
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "n_unique_tokens", F.size(F.array_distinct("_toks")).cast("long")
+        )
         .withColumn(
             "token_chars",
-            F.aggregate("_toks", F.lit(0), lambda acc, w: acc + F.length(w)),
+            F.aggregate(
+                "_toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ),
         )
         .drop("_toks")
     )

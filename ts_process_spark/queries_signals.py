@@ -161,18 +161,24 @@ def q_transcript_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries_signals() -> dict[str, object]:
+    """Driver registry (signal-kernel slice) — rows-only entries.
+
+    Trimmed to the non-redundant kernels so the whole registry fits the
+    driver's 50-entry evaluation window (VERDICT r1 #2): signal_lowpass
+    and signal_resample_decimate are strict sub-stages of
+    signal_process_dt; signal_rotate_station is value-checked at the
+    driver via queries_ts.rotmax_scan (and taper via taper_tukey);
+    signal_rotd50 is subsumed by signal_rotd50_grid63;
+    transcript_cascade_1m by transcript_cascade_1d.  All dropped
+    variants remain pytest-pinned (tests/test_analytics.py,
+    tests/test_dsp.py, tests/test_rollup.py)."""
     return {
-        "signal_lowpass": q_signal_lowpass,
         "signal_bandpass_padded": q_signal_bandpass_padded,
-        "signal_resample_decimate": q_signal_resample,
         "signal_baseline_correct": q_signal_baseline,
-        "signal_rotate_station": q_signal_rotate,
         "signal_fas": q_signal_fas,
-        "signal_rotd50": q_signal_rotd50,
         "signal_spline_upsample": q_signal_spline_upsample,
         "signal_process_dt": q_signal_process_dt,
         "signal_synchronize": q_signal_synchronize,
         "signal_rotd50_grid63": q_signal_rotd50_grid63,
-        "transcript_cascade_1m": q_transcript_cascade_1m,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
