@@ -197,3 +197,115 @@ def test_hash60_matches_duckdb(spark):
             "SELECT ('0x' || substr(md5(?),1,15))::BIGINT", [s]
         ).fetchone()[0]
         assert got[s] == want, s
+
+
+def test_simhash_blocking_recall(docs, spark):
+    """The blocked path must find EVERY pair within the advertised
+    radius (pigeonhole: max_hamming+1 chunks), not just pairs whose
+    differing bits cluster into few chunks.
+
+    (a) real fixture: blocked == unblocked all-pairs at radius 3;
+    (b) adversarial fixture: signatures engineered so the differing
+        bits SPREAD across all 4 of the old fixed chunks — the r1
+        layout (4 chunks, radius 10) silently dropped these; the
+        derived layout (11 chunks for radius 10) must not."""
+    for h in (3, 6):
+        blocked = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs(docs, max_hamming=h).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.simhash_pairs_exact(docs, max_hamming=h).collect()
+        }
+        assert blocked == exact, (h, exact - blocked)
+
+    # adversarial: 64-bit sigs differing in bits {0, 16, 32, 48} — one
+    # bit in each 16-bit chunk, Hamming distance 4
+    layout = dedup.simhash_chunk_layout(64, 4)
+    assert len(layout) == 5 and sum(w for _, w in layout) == 64
+    base = 0x0123456789ABCDEF
+    spread = base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    sigs = spark.createDataFrame(
+        [(0, base), (1, spread)], "id long, simhash long"
+    )
+    # drive the blocking stage directly on the engineered signatures
+    from pyspark.sql import functions as F2
+
+    chunks = sigs.select(
+        F2.struct("id", "simhash").alias("id"),
+        F2.explode(
+            F2.array(
+                *[
+                    F2.struct(
+                        F2.lit(c).alias("chunk"),
+                        F2.shiftrightunsigned(F2.col("simhash"), start)
+                        .bitwiseAND(F2.lit((1 << width) - 1))
+                        .alias("cv"),
+                    )
+                    for c, (start, width) in enumerate(layout)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", F2.col("cc.chunk").alias("chunk"), F2.col("cc.cv").alias("cv"))
+    cand = dedup._bucket_pairs(chunks, ["chunk", "cv"]).collect()
+    assert len(cand) == 1  # the spread-bits pair IS a candidate
+
+
+def test_connected_components_long_chain(spark):
+    """A 50-node path graph (diameter 49) must converge well inside
+    max_iter — pointer doubling gives O(log d) rounds — and label every
+    node with the chain minimum.  Also guards the lineage fix: without
+    per-round localCheckpoint this test's plan depth explodes."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "id_a int, id_b int"
+    )
+    comps = dedup.connected_components(pairs, max_iter=10).collect()
+    assert len(comps) == 50
+    assert all(r.component == 0 for r in comps)
+
+
+def test_emb_neardup_blocked_recall(spark):
+    """The default (SRP-blocked) embedding near-dup must (a) be a subset
+    of the exact form, (b) achieve recall 1.0 on TRUE near-dups (noise
+    clones, cosine ≈ 0.999 → per-table collision prob ≈ 0.97), and
+    (c) log its recall at the loose fixture threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=64).astype("float32")
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.normal(scale=0.01, size=64).astype("float32")
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    embs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(
+            embs, 0.99, exact=True
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(embs, 0.99).collect()
+    }
+    clone_pairs = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert clone_pairs <= exact
+    assert blocked <= exact
+    assert clone_pairs <= blocked, clone_pairs - blocked  # recall 1.0 on clones
+
+    # loose-threshold recall metric on the driver fixture (logged, bounded)
+    fx = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ex = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(fx, 0.35, exact=True).collect()
+    }
+    bl = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_neardup_pairs(fx, 0.35).collect()
+    }
+    recall = len(bl & ex) / len(ex) if ex else 1.0
+    print(f"emb_neardup blocked recall @0.35 (fixture, non-near pairs): {recall:.3f}")
+    assert bl <= ex

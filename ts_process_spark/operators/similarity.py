@@ -264,17 +264,66 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
-    """All pairs with quantized cosine ≥ threshold (test-scale exact
-    form; the scale path pre-blocks with srp_bucket)."""
+    """Pairs with quantized cosine ≥ threshold.
+
+    DEFAULT is the multi-table SRP-blocked path (the 100-TB shape):
+    each vector hashes into one bucket per table (``n_tables``
+    independent sets of ``n_planes`` seeded hyperplanes), candidates are
+    the distinct pairs sharing ANY (table, bucket), and only candidates
+    are scored — an equi-join, never the O(n²) self-join that r1 shipped
+    as the default.  Collision probability per table is
+    (1 − θ/π)^n_planes, so recall rises with n_tables and approaches 1
+    for true near-dups (θ→0); the recall-vs-exact metric at the fixture
+    threshold is pinned in tests/test_training_ops.py.
+
+    ``exact=True`` keeps the all-pairs form — the ground-truth oracle
+    for those recall tests, deliberately not the default."""
     base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
-    a, b = base.alias("a"), base.alias("b")
+    if exact:
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    from ts_process_spark.operators.dedup import _bucket_pairs
+
+    tables = [
+        rademacher_hyperplanes(n_planes, 64, seed + t) for t in range(n_tables)
+    ]
+    bucketed = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_bucket(F.col("q"), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = _bucket_pairs(bucketed, ["tbl", "bucket"])
+    va = base.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_q(F.col("qa"), F.col("qb")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -145,13 +145,16 @@ SELECT id_a, id_b, n_inter, n_union FROM (
 
 
 def q_simhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup in md5 hash mode (60-bit signature, 4×15-bit
-    chunk blocking, Hamming ≤ 10) — value-checked against DuckDB."""
+    """SimHash near-dup in md5 hash mode (60-bit signature, Hamming ≤ 3
+    with 4×15-bit chunk blocking = the pigeonhole-complete layout,
+    dedup.simhash_chunk_layout) — value-checked against DuckDB.  Recall
+    completeness vs the unblocked all-pairs form is additionally pinned
+    by tests/test_training_ops.py::test_simhash_blocking_recall."""
     docs = _docs(spark, sf_dir)
-    return dedup.simhash_pairs(docs, max_hamming=10, hash_mode="md5")
+    return dedup.simhash_pairs(docs, max_hamming=3, hash_mode="md5")
 
 
-def _sql_simhash_md5(n_bits: int = 60, max_hamming: int = 10) -> str:
+def _sql_simhash_md5(n_bits: int = 60, max_hamming: int = 3) -> str:
     votes = ",\n        ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(n_bits)
@@ -185,10 +188,11 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at Hamming ≤ 10 with 16-bit chunk
-    blocking; rows-only (xxhash64-based)."""
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 with pigeonhole-complete
+    4×16-bit chunk blocking; xxhash64-based (no DuckDB twin, so not in
+    the driver registry — pytest + bench surface)."""
     docs = _docs(spark, sf_dir)
-    return dedup.simhash_pairs(docs, max_hamming=10)
+    return dedup.simhash_pairs(docs, max_hamming=3)
 
 
 def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,20 +490,55 @@ FROM x GROUP BY label, dim
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at ≥ 0.35 (99.9th pct of the
-    fixture's pair distribution)."""
+    fixture's pair distribution) through the DEFAULT multi-table
+    SRP-blocked path (4 tables × 6 hyperplanes — an equi-join, never the
+    O(n²) self-join).  The DuckDB oracle replicates the same blocking
+    lattice, so the whole candidate-generation + scoring pipeline is
+    value-checked; recall vs the exact all-pairs form is pinned
+    separately in tests/test_training_ops.py."""
     return similarity.embedding_neardup_pairs(_embs(spark, sf_dir), 0.35)
 
 
-SQL_EMB_NEARDUP = f"""
-WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings)
-SELECT a.id AS id_a, b.id AS id_b,
-       round(list_dot_product(a.q, b.q)
-             / (sqrt(list_dot_product(a.q, a.q))
-                * sqrt(list_dot_product(b.q, b.q))), 6) AS cosine
-FROM e a JOIN e b ON a.id < b.id
-WHERE round(list_dot_product(a.q, b.q)
-            / (sqrt(list_dot_product(a.q, a.q))
-               * sqrt(list_dot_product(b.q, b.q))), 6) >= 0.35
+def _srp_bucket_expr_for(planes, col: str = "q") -> str:
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ",".join(str(int(x)) for x in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}) >= 0 THEN 1 ELSE 0 END)"
+            f" * {1 << p}"
+        )
+    return " + ".join(terms)
+
+
+def _sql_emb_neardup(
+    threshold: float = 0.35, n_planes: int = 6, n_tables: int = 4, seed: int = 42
+) -> str:
+    table_selects = "\n    UNION ALL ".join(
+        "SELECT id, {t} AS tbl, {expr} AS bucket FROM e".format(
+            t=t,
+            expr=_srp_bucket_expr_for(
+                similarity.rademacher_hyperplanes(n_planes, 64, seed + t)
+            ),
+        )
+        for t in range(n_tables)
+    )
+    cos = (
+        "round(list_dot_product(a.q, b.q)"
+        " / (sqrt(list_dot_product(a.q, a.q))"
+        " * sqrt(list_dot_product(b.q, b.q))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+bk AS (
+    {table_selects}
+),
+cand AS (
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT c.id_a, c.id_b, {cos} AS cosine
+FROM cand c JOIN e a ON a.id = c.id_a JOIN e b ON b.id = c.id_b
+WHERE {cos} >= {threshold}
 """
 
 
@@ -565,6 +604,6 @@ def oracles_docs() -> dict[str, str | None]:
         "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_ivf_ann": _sql_emb_ivf_ann(),
         "emb_centroids": SQL_EMB_CENTROIDS,
-        "emb_neardup": SQL_EMB_NEARDUP,
+        "emb_neardup": _sql_emb_neardup(),
         "multimodal_features": None,  # mapInPandas plumbing; rows-only
     }
