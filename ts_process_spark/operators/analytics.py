@@ -50,10 +50,15 @@ def filter_signals(
     fmax: float = 0.0,
     N: int = 4,
     cols: Iterable[str] = _SIG_COLS,
+    family: str = "butter",
+    rp: float = 0.1,
+    rs: float = 100.0,
 ) -> DataFrame:
-    """Butterworth zero-phase filter per series (filter_timeseries,
+    """Zero-phase filter per series (filter_timeseries,
     ts_library.py:779-894), incl. the 1.5·N/fmin zero-pad rule for
-    high/band-pass; output keeps the input grid (padding is internal)."""
+    high/band-pass; output keeps the input grid (padding is internal).
+    ``family`` ∈ {'butter', 'ellip'} with rp/rs ripple params for the
+    elliptic family — the reference's full filter_data dispatch."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         dt = float(pdf["dt"].iloc[0])
@@ -64,7 +69,10 @@ def filter_signals(
             pad = 0
             if fmin and btype in ("highpass", "bandpass"):
                 x, pad = dsp.pad_for_highpass(x, dt, fmin, N)
-            y = dsp.filter_data(x, dt, btype, fmin=fmin, fmax=fmax, N=N)
+            y = dsp.filter_data(
+                x, dt, btype, fmin=fmin, fmax=fmax, N=N,
+                family=family, rp=rp, rs=rs,
+            )
             out[c] = y[pad : pad + n0] if pad else y
         return out
 
@@ -338,9 +346,6 @@ def _station_col(df: DataFrame) -> DataFrame:
     )
 
 
-ROTATE_SCHEMA_EXTRA = None
-
-
 def rotate_station(df: DataFrame, angle: float) -> DataFrame:
     """Rotate the horizontal pair of every station by `angle` degrees
     (rotate_timeseries, ts_library.py:686-777): channel reorder so H1
@@ -425,35 +430,65 @@ def response_spectrum(
     periods: Iterable[float] = tuple(dsp.ROTD50_PERIODS),
     damping: float = 0.05,
     col: str = "acc",
+    fan_out: bool = False,
 ) -> DataFrame:
-    """PSA per (series, period): crossJoin with the broadcast period dim
-    (the 63-period grid analog, rotd50.f:36-45), oscillator recurrence +
-    peak inside the Arrow UDF (calcrsp.f semantics).  The period
-    fan-out multiplies parallelism — each (series, period) group is an
-    independent task at scale."""
-    spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(float(p),) for p in periods], T.StructType([T.StructField("period", T.DoubleType())])
-    )
-    fan = df.crossJoin(F.broadcast(dim))
+    """PSA per (series, period) over the period grid (the 63-period
+    domain, rotd50.f:36-45; calcrsp.f oscillator semantics).
+
+    DEFAULT plan (the rotd50_stations pattern): ONE group pass per
+    series computes every period — the series' samples cross the shuffle
+    exactly once instead of ×len(periods), which at the reference's 2M
+    samples × 63 periods is the difference between shuffling 16 MB and
+    1 GB per station.  The oscillator itself is the vectorized
+    geometric-scan kernel (dsp.oscillator_response), so the per-period
+    loop below is ~63 NumPy scans, no per-sample Python.
+
+    ``fan_out=True`` keeps the old crossJoin-with-period-dim plan for
+    the regime where it wins: few very long series and periods ≫ cores
+    (each (series, period) becomes an independent task)."""
+    ps = np.array(sorted(float(p) for p in periods))
+
+    if fan_out:
+        spark = df.sparkSession
+        dim = spark.createDataFrame(
+            [(float(p),) for p in ps],
+            T.StructType([T.StructField("period", T.DoubleType())]),
+        )
+        fan = df.crossJoin(F.broadcast(dim))
+
+        def fn1(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("i")
+            dt = float(pdf["dt"].iloc[0])
+            period = float(pdf["period"].iloc[0])
+            rsp = dsp.oscillator_response(
+                pdf[col].to_numpy(dtype=np.float64), 2.0 * np.pi / period,
+                damping, dt,
+            )
+            return pd.DataFrame(
+                {
+                    "series_id": [pdf["series_id"].iloc[0]],
+                    "period": [period],
+                    "psa": [dsp.calc_sa(rsp)],
+                }
+            )
+
+        return fan.groupBy("series_id", "period").applyInPandas(
+            fn1, schema=PSA_SCHEMA
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("i")
         dt = float(pdf["dt"].iloc[0])
-        period = float(pdf["period"].iloc[0])
-        w = 2.0 * np.pi / period
-        rsp = dsp.oscillator_response(
-            pdf[col].to_numpy(dtype=np.float64), w, damping, dt
-        )
+        x = pdf[col].to_numpy(dtype=np.float64)
+        psa = [
+            dsp.calc_sa(dsp.oscillator_response(x, 2.0 * np.pi / p, damping, dt))
+            for p in ps
+        ]
         return pd.DataFrame(
-            {
-                "series_id": [pdf["series_id"].iloc[0]],
-                "period": [period],
-                "psa": [dsp.calc_sa(rsp)],
-            }
+            {"series_id": pdf["series_id"].iloc[0], "period": ps, "psa": psa}
         )
 
-    return fan.groupBy("series_id", "period").applyInPandas(fn, schema=PSA_SCHEMA)
+    return df.groupBy("series_id").applyInPandas(fn, schema=PSA_SCHEMA)
 
 
 ROTD50_SCHEMA = T.StructType(

@@ -36,6 +36,18 @@ def q_signal_bandpass_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.filter_signals(sig, "bandpass", fmin=0.2, fmax=8.0)
 
 
+def q_signal_ellip_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elliptic (rp=0.1 dB, rs=100 dB) zero-phase band-pass incl. the
+    pad rule — the reference's family='ellip' path (ts_library.py:
+    836-884, scipy.signal.ellip + filtfilt), designed from closed forms
+    in dsp.ellip_sos; equiripple spec pinned by
+    tests/test_dsp.py::test_ellip_design_meets_spec."""
+    sig = datagen.signals(spark, cases=["bandpass"], n=2048)
+    return analytics.filter_signals(
+        sig, "bandpass", fmin=0.2, fmax=8.0, family="ellip", rp=0.1, rs=100.0
+    )
+
+
 def q_signal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimate fast path (integer ratio) per ts_library.py:919-925."""
     sig = datagen.signals(spark, cases=["lowpass"], n=2048)
@@ -166,14 +178,16 @@ def queries_signals() -> dict[str, object]:
     Trimmed to the non-redundant kernels so the whole registry fits the
     driver's 50-entry evaluation window (VERDICT r1 #2): signal_lowpass
     and signal_resample_decimate are strict sub-stages of
-    signal_process_dt; signal_rotate_station is value-checked at the
-    driver via queries_ts.rotmax_scan (and taper via taper_tukey);
+    signal_process_dt; signal_bandpass_padded is subsumed by
+    signal_ellip_bandpass (same btype + pad rule, richer family);
+    signal_rotate_station is value-checked at the driver via
+    queries_ts.rotmax_scan (and taper via taper_tukey);
     signal_rotd50 is subsumed by signal_rotd50_grid63;
     transcript_cascade_1m by transcript_cascade_1d.  All dropped
     variants remain pytest-pinned (tests/test_analytics.py,
     tests/test_dsp.py, tests/test_rollup.py)."""
     return {
-        "signal_bandpass_padded": q_signal_bandpass_padded,
+        "signal_ellip_bandpass": q_signal_ellip_bandpass,
         "signal_baseline_correct": q_signal_baseline,
         "signal_fas": q_signal_fas,
         "signal_spline_upsample": q_signal_spline_upsample,
