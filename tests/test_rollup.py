@@ -213,3 +213,32 @@ def test_cascade_edge_convs(spark):
     assert len(sd) == 2  # two day buckets
     assert list(sd.n_turns) == [1, 1]
     assert sd.peak_text_len.tolist() == [10, 20]
+
+
+def test_cascade_blob_cap_surfaces_drops(spark):
+    """max_blob_bytes bounds the hot-conversation tier row: chunks kept
+    in bucket order within budget, the drop count surfaced (never
+    silent), and every non-blob aggregate identical to the lossless
+    run."""
+    from ts_process_spark.operators.rollup import rollup_cascade
+
+    raw = transcripts(spark, n_convs=6, seed=9)
+    t1m = rollup_raw_to_1m(raw)
+    full = rollup_cascade(t1m, "1d").orderBy("conv_id", "bucket_ts").collect()
+    capped = (
+        rollup_cascade(t1m, "1d", max_blob_bytes=64)
+        .orderBy("conv_id", "bucket_ts")
+        .collect()
+    )
+    assert len(full) == len(capped)
+    assert any(r["blob_chunks_dropped"] > 0 for r in capped)  # cap bites
+    for a, b in zip(full, capped):
+        for c in ("conv_id", "n_turns", "sum_text_len", "peak_text_len",
+                  "text_hash", "first_ts", "last_ts"):
+            assert a[c] == b[c], c
+        assert len(b["ts_blob"]) <= len(a["ts_blob"])
+        # capped blob decodes to a prefix of the lossless blob's points
+        # (chunk order is bucket order in both)
+        da = list(decode_dod(bytes(a["ts_blob"])))
+        db = list(decode_dod(bytes(b["ts_blob"])))
+        assert da[: len(db)] == db

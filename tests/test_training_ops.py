@@ -37,7 +37,7 @@ def test_exact_dedup(docs):
 def test_jaccard_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in dedup.wordset_jaccard_pairs(docs, 0.7).collect()
+        for r in dedup.wordset_jaccard_pairs(docs, 0.7, allow_unblocked=True).collect()
     }
     assert (0, 1) in pairs  # identical
     assert (0, 2) in pairs and (1, 2) in pairs  # one-word swap
@@ -50,7 +50,7 @@ def test_minhash_subset_of_exact(docs):
     the same threshold (verification uses the same measure)."""
     exact = {
         (r["id_a"], r["id_b"])
-        for r in dedup.wordset_jaccard_pairs(docs, 0.9).collect()
+        for r in dedup.wordset_jaccard_pairs(docs, 0.9, allow_unblocked=True).collect()
     }
     mh = {
         (r["id_a"], r["id_b"])

@@ -73,10 +73,22 @@ def wordset_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with |A∩B|/|A∪B| ≥ threshold over distinct word
     sets.  ``group_col`` restricts the self-join (blocking key) — the
-    exact-verification stage of a dedup pipeline."""
+    exact-verification stage of a dedup pipeline.
+
+    Without a blocking key this is an O(n²) self-join — a test-scale
+    oracle shape, never a production path (use minhash_dedup_pairs,
+    which verifies LSH candidates with the same measure).  Callers must
+    say so explicitly via ``allow_unblocked=True``."""
+    if group_col is None and not allow_unblocked:
+        raise ValueError(
+            "wordset_jaccard_pairs without group_col is an O(n²) self-join; "
+            "pass a blocking key, or allow_unblocked=True for test-scale "
+            "oracle use (production near-dup: minhash_dedup_pairs)"
+        )
     ws = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),

@@ -199,9 +199,20 @@ def rollup_raw_to_1m(raw: DataFrame, hash_name: str = "xxhash64") -> DataFrame:
 
 
 def rollup_cascade(
-    child: DataFrame, tier: str, hash_name: str = "xxhash64"
+    child: DataFrame,
+    tier: str,
+    hash_name: str = "xxhash64",
+    max_blob_bytes: int | None = None,
 ) -> DataFrame:
-    """Aggregate a finer tier (1m→1h or 1h→1d). ``tier`` ∈ {'1h','1d'}."""
+    """Aggregate a finer tier (1m→1h or 1h→1d). ``tier`` ∈ {'1h','1d'}.
+
+    ``max_blob_bytes`` bounds the pathological hot-conversation row: a
+    conv whose day concatenates gigabytes of child blobs would otherwise
+    make one giant row.  When set, child blob chunks are kept in bucket
+    order until the byte budget is reached and the drop is SURFACED as a
+    ``blob_chunks_dropped`` column (the no-silent-caps rule — aggregates
+    stay exact either way; only replay payload is truncated).  Default
+    None = lossless, schema unchanged."""
     hfn = _hash_fn(hash_name)
     trunc = TIERS[tier]
     grouped = child.groupBy(
@@ -226,6 +237,30 @@ def rollup_cascade(
             )
         ).alias("children"),
     )
+    children = F.col("children")
+    if max_blob_bytes is not None:
+        # keep chunks in bucket order while the cumulative (tb+vb) size
+        # fits the budget; per-group children count is bounded (≤60/24),
+        # so the prefix-sum-via-slice is cheap
+        lens = F.transform(children, lambda c: F.length(c["tb"]) + F.length(c["vb"]))
+        kept = F.filter(
+            children,
+            lambda c, i: F.aggregate(
+                F.slice(lens, F.lit(1), i + 1),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            <= F.lit(max_blob_bytes),
+        )
+        dropped = [
+            (F.size(children) - F.size(kept)).cast("long").alias(
+                "blob_chunks_dropped"
+            )
+        ]
+        blob_src = kept
+    else:
+        dropped = []
+        blob_src = children
     return grouped.select(
         "conv_id",
         "bucket_ts",
@@ -249,10 +284,11 @@ def rollup_cascade(
                 _SEP, F.transform("children", lambda c: c["h"].cast("string"))
             )
         ).alias("text_hash"),
-        _concat_blobs_udf(F.transform("children", lambda c: c["tb"])).alias("ts_blob"),
-        _concat_blobs_udf(F.transform("children", lambda c: c["vb"])).alias(
+        _concat_blobs_udf(F.transform(blob_src, lambda c: c["tb"])).alias("ts_blob"),
+        _concat_blobs_udf(F.transform(blob_src, lambda c: c["vb"])).alias(
             "val_blob"
         ),
+        *dropped,
     )
 
 

@@ -546,8 +546,11 @@ WHERE {cos} >= {threshold}
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through mapInPandas (decode is a
-    deterministic stub; plumbing is real); rows-only."""
+    """Binary-payload byte-level feature extraction through mapInPandas
+    (multimodal.byte_features: mean byte, histogram entropy) —
+    VALUE-CHECKED: the DuckDB oracle recomputes the same features from
+    the payload bytes (codepoint == byte on this ASCII fixture; the
+    Spark path itself is byte-correct for arbitrary payloads)."""
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
     return feats.select(
@@ -557,6 +560,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 6).alias("byte_mean"),
         F.round("byte_entropy", 6).alias("byte_entropy"),
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH t AS (
+    SELECT doc_id, text,
+           (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+    FROM documents
+), b AS (
+    SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
+    FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+          FROM t)
+), h AS (
+    SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2
+), tot AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+), stats AS (
+    SELECT h.doc_id,
+           CAST(sum(h.byte * h.c) AS BIGINT) AS byte_sum,
+           any_value(tot.n) AS n,
+           -sum((h.c * 1.0 / tot.n) * log2(h.c * 1.0 / tot.n)) AS entropy
+    FROM h JOIN tot USING (doc_id) GROUP BY h.doc_id
+)
+SELECT t.doc_id AS media_id, t.kind, t.n_bytes,
+       round(s.byte_sum * 1.0 / s.n, 6) AS byte_mean,
+       round(s.entropy, 6) AS byte_entropy
+FROM t JOIN stats s ON s.doc_id = t.doc_id
+"""
 
 
 def queries_docs() -> dict[str, object]:
@@ -605,5 +636,5 @@ def oracles_docs() -> dict[str, str | None]:
         "emb_ivf_ann": _sql_emb_ivf_ann(),
         "emb_centroids": SQL_EMB_CENTROIDS,
         "emb_neardup": _sql_emb_neardup(),
-        "multimodal_features": None,  # mapInPandas plumbing; rows-only
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }
