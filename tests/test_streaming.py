@@ -53,3 +53,49 @@ def test_stream_matches_batch(spark, tmp_path, n_convs):
               "first_turn_idx", "last_turn_idx"):
         assert (merged[c] == merged[f"{c}_s"]).all(), c
     assert len(exp_pd) > 0
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """The stateful streaming sessionizer (applyInPandasWithState) must
+    emit exactly the batch-computed sessions that are sealed by the
+    final watermark — same boundaries, counts, and text-length sums —
+    regardless of file/batch arrival order."""
+    from ts_process_spark.streaming.ingest import run_sessionize_stream_to_memory
+
+    path = str(tmp_path / "raw_s")
+    raw = transcripts(spark, n_convs=8, seed=11, median_turns=25)
+    raw.repartition(5).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path).where(F.col("ts").isNotNull())
+
+    gap_s = 120  # small gap so the fixture has many sessions
+    got = run_sessionize_stream_to_memory(spark, path, gap_s=gap_s).cache()
+
+    # batch reference: lag+cumsum sessionization, keep sessions sealed
+    # by the final watermark (max ts − 10 min)
+    from pyspark.sql import Window
+
+    max_ts = static.agg(F.max("ts")).first()[0]
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    sessed = static.withColumn(
+        "session_id", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = (
+        sessed.groupBy("conv_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .where(
+            F.col("session_end") + F.expr(f"INTERVAL {gap_s} SECONDS")
+            <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+        )
+        .select("conv_id", "session_start", "session_end", "n_turns", "sum_text_len")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert len(batch_rows) > 5  # fixture actually exercises sealing
+    assert got_rows == batch_rows

@@ -72,3 +72,125 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "conv_id string, session_start timestamp, session_end timestamp, "
+    "n_turns long, sum_text_len long"
+)
+_SESSION_STATE_SCHEMA = "ts_buf array<long>, tl_buf array<long>"
+
+
+def stream_sessionize(
+    raw: DataFrame, gap_s: int = 1800, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming sessionization per conversation — the engine's custom
+    STATEFUL operator (SURVEY §2.9 / task brief: applyInPandasWithState
+    for semantics windowed aggs can't express: session boundaries depend
+    on *neighboring* event times, not a fixed grid).
+
+    Protocol (correct under out-of-order arrival within the watermark):
+    buffer each conv's (ts, text_len) pairs in group state; whenever the
+    group is invoked (new data OR event-time timeout), sort the buffer,
+    greedily split into gap_s sessions, and EMIT exactly the sessions
+    that are sealed — session_end + gap_s ≤ current watermark, so no
+    admissible late row can ever extend or merge them (later rows are ≥
+    the watermark by definition; earlier ones were dropped by it).
+    Unsealed rows stay in state, which is therefore bounded by one
+    watermark+gap window per conv, not by history.  An event-time
+    timeout is armed at seal time so quiet conversations still flush
+    when the watermark passes them."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        ts_buf, tl_buf = state.get if state.exists else ((), ())
+        ts_list, tl_list = list(ts_buf), list(tl_buf)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_list.extend(
+                    int(t.value) // 1000  # ns → µs
+                    for t in pd.to_datetime(pdf["ts"])
+                )
+                tl_list.extend(int(x) for x in pdf["text_len"])
+        else:
+            for _ in pdfs:  # exhaust the (empty) iterator per contract
+                pass
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+        sessions: list[list[int]] = []  # [start_us, end_us, n, sum_tl]
+        for i in order:
+            t, L = ts_list[i], tl_list[i]
+            if sessions and t - sessions[-1][1] <= gap_us:
+                s = sessions[-1]
+                s[1] = t
+                s[2] += 1
+                s[3] += L
+            else:
+                sessions.append([t, t, 1, L])
+        sealed = [s for s in sessions if s[1] + gap_us <= wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+        if open_:
+            keep_from = open_[0][0]
+            kept = [i for i in order if ts_list[i] >= keep_from]
+            state.update((
+                [ts_list[i] for i in kept],
+                [tl_list[i] for i in kept],
+            ))
+            # revisit when the watermark can seal the earliest open session
+            state.setTimeoutTimestamp(max(wm_us // 1000 + 1,
+                                          (open_[0][1] + gap_us) // 1000))
+        else:
+            state.remove()
+        if sealed:
+            yield pd.DataFrame(
+                {
+                    "conv_id": key[0],
+                    "session_start": pd.to_datetime(
+                        [s[0] for s in sealed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [s[1] for s in sealed], unit="us"
+                    ),
+                    "n_turns": [s[2] for s in sealed],
+                    "sum_text_len": [s[3] for s in sealed],
+                }
+            )
+
+    slim = (
+        raw.where(F.col("ts").isNotNull())
+        .select("conv_id", "ts", F.length("text").cast("long").alias("text_len"))
+        .withWatermark("ts", watermark)
+    )
+    return slim.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessionize_stream_to_memory(
+    spark: SparkSession,
+    path: str,
+    gap_s: int = 1800,
+    query_name: str = "sessions_stream",
+) -> DataFrame:
+    q = (
+        stream_sessionize(stream_raw(spark, path), gap_s=gap_s)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
