@@ -106,3 +106,30 @@ def test_gapfill_windows_are_growing_frames(spark):
     raw = datagen.transcripts(spark, n_convs=5, seed=3)
     plan = _plan(gapfill_ts(raw))
     assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_emb_neardup_default_is_blocked(spark):
+    """The r1 scale bug: embedding_neardup_pairs defaulted to an
+    a.id < b.id cartesian self-join.  The SRP-blocked default must plan
+    as equi-joins only."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["emb_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_rotmax_and_taper_stay_jvm(spark):
+    """The new oracle-checked signal kernels are pure JVM plans: no
+    Python stages, hash aggregates present, parquet scan pruned to the
+    needed columns."""
+    import re
+
+    import __spark_entry__ as E
+
+    for name in ("rotmax_scan", "taper_tukey", "window_kernels"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert "props" not in cols, (name, cols)  # widest column pruned
