@@ -104,6 +104,23 @@ def main() -> None:
                 q_secs[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
 
+        # ---- production (xxhash64) dedup paths — not registry entries
+        # (no DuckDB twin) but THE paths a pipeline would run; the md5
+        # registry variants above pay ~64 md5-string hashes per shingle
+        # for oracle checkability
+        from ts_process_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for name, df in (
+            ("doc_minhash_neardup_prod", dedup.minhash_dedup_pairs(docs, 0.9)),
+            ("doc_simhash_pairs_prod", dedup.simhash_pairs(docs, max_hamming=3)),
+        ):
+            try:
+                q_secs[name] = round(_noop(df), 3)
+            except Exception as e:
+                q_secs[name] = -1.0
+                print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
         print(
             json.dumps(
                 {
