@@ -383,23 +383,29 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
     zf = np.zeros((n_sections, 2))
     for s in range(n_sections):
         b0, b1, b2, _a0, a1, a2 = sos[s]
-        if a1 == 0.0 and a2 == 0.0:  # pure-FIR section (not produced by
-            return sosfilt_seq(sos, x, zi)  # our designs) — literal path
         z0, z1 = (0.0, 0.0) if zi is None else (zi[s, 0], zi[s, 1])
-        # DF-II-T state → virtual output history with x₋₁ = x₋₂ = 0:
-        #   z1 = −a2·y₋₁            z0 = −a1·y₋₁ − a2·y₋₂
-        if a2 != 0.0:
-            y1 = -z1 / a2
-            y2 = -(z0 + a1 * y1) / a2
-        else:  # first-order section: z1 ≡ 0 in our designs
-            y1 = -z0 / a1
-            y2 = 0.0
         f = b0 * x
         if n > 1:
             f[1:] += b1 * x[:-1]
         if n > 2:
             f[2:] += b2 * x[:-2]
-        y = linear_recurrence2(-a1, -a2, f, y1, y2)
+        if a1 == 0.0 and a2 == 0.0:
+            # pure-FIR section (not produced by our designs, but legal
+            # SOS input): y = f with the state folding in directly
+            f[0] += z0
+            if n > 1:
+                f[1] += z1
+            y = f
+        else:
+            # DF-II-T state → virtual output history with x₋₁ = x₋₂ = 0:
+            #   z1 = −a2·y₋₁            z0 = −a1·y₋₁ − a2·y₋₂
+            if a2 != 0.0:
+                y1 = -z1 / a2
+                y2 = -(z0 + a1 * y1) / a2
+            else:  # first-order section: z1 ≡ 0 in our designs
+                y1 = -z0 / a1
+                y2 = 0.0
+            y = linear_recurrence2(-a1, -a2, f, y1, y2)
         zf[s, 0] = b1 * x[-1] + b2 * x[-2] - a1 * y[-1] - a2 * y[-2]
         zf[s, 1] = b2 * x[-1] - a2 * y[-1]
         x = y
