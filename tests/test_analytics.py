@@ -255,3 +255,53 @@ def test_synchronize_stations_matches_reference_order(spark):
         for c in ("acc", "vel", "dis"):
             np.testing.assert_array_equal(g[c].to_numpy(), want[c],
                                           err_msg=f"{st}-{comp}:{c}")
+
+
+def test_asof_join_grouped_matches_window_form(spark):
+    """The scalable as-of join (cogrouped merge_asof) must agree with
+    the registry's SQL-checkable window form on the shared testdata.
+    Right side deduped to one order per (custkey, date) so both forms'
+    tie-breaks coincide."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(F.col("user_id").alias("custkey"), "ts", "event_id")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            "o_orderkey",
+        )
+        .groupBy("custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    grouped = analytics.asof_join_grouped(
+        ev, orders, by="custkey", left_on="ts", right_on="o_orderdate",
+        right_cols=["o_orderkey"],
+    )
+    got = {
+        r["event_id"]: r["o_orderkey"]
+        for r in grouped.collect()
+        if r["o_orderkey"] is not None
+    }
+
+    # window form over the same deduped right side
+    from pyspark.sql import Window
+
+    cand = ev.join(orders, "custkey").where(F.col("o_orderdate") <= F.col("ts"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    want = {
+        r["event_id"]: r["o_orderkey"]
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert len(want) > 100
+    assert got == want
