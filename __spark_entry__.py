@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except Exception:
             print(f"REGISTRY IMPORT FAILED: {mod}", file=sys.stderr)
             traceback.print_exc()
+    # the registry is a CONTRACT: exactly 50 entries.  A module that
+    # fails to import (traceback above) or a miscounted edit would
+    # silently shrink the scored surface — hard-fail instead.
+    if len(out) != 50:
+        raise RuntimeError(
+            f"registry contract violated: {len(out)} entries != 50 "
+            "(see stderr for any module import tracebacks)"
+        )
     return out
 
 

@@ -240,6 +240,28 @@ def test_sosfilt_scan_matches_sequential():
         np.testing.assert_allclose(y_fast, y_seq, atol=1e-9)
 
 
+def test_sosfilt_state_fold_odd_sections():
+    """Regression (round-2 review): nonzero z1 on a first-order section
+    with b2 != 0, pure-FIR sections, and mixed cascades — the universal
+    f[0]+=z0, f[1]+=z1 state fold must match the literal loop for every
+    legal SOS, not just our designed filters."""
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=512)
+    cases = [
+        np.array([[0.5, 0.3, 0.2, 1.0, -0.4, 0.0]]),  # 1st-order, b2 != 0
+        np.array([[0.5, 0.25, 0.1, 1.0, 0.0, 0.0]]),  # pure FIR
+        np.vstack(
+            [[[0.5, 0.3, 0.2, 1.0, -0.4, 0.0]], dsp.butter_sos(4, 0.2, "lowpass")]
+        ),
+    ]
+    for sos in cases:
+        zi = rng.normal(size=(sos.shape[0], 2))
+        y1, z1 = dsp.sosfilt(sos, x, zi)
+        y2, z2 = dsp.sosfilt_seq(sos, x, zi)
+        np.testing.assert_allclose(y1, y2, atol=1e-10)
+        np.testing.assert_allclose(z1, z2, atol=1e-10)
+
+
 def test_oscillator_scan_matches_sequential():
     rng = np.random.default_rng(12)
     x = rng.normal(size=4096)

@@ -372,9 +372,13 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
     """Cascaded biquads — vectorized: each section is the second-order
     recurrence y = −a1·y₋₁ − a2·y₋₂ + b0·x + b1·x₋₁ + b2·x₋₂, evaluated
     by `linear_recurrence2` (geometric scans over the section's poles).
-    The DF-II-transposed state `zi` converts exactly to an equivalent
-    (y₋₁, y₋₂) virtual history per section, so semantics (incl. the
-    filtfilt steady-state init) match the sequential form to ~1e-13."""
+
+    DF-II-transposed state folds in EXACTLY and universally: unrolling
+    the state equations shows the initial (z0, z1) contribute +z0 to
+    y[0] and +z1 to y[1] and nothing else — so fold them into the
+    forcing terms and run the zero-init recurrence.  Valid for every
+    legal section (biquad, first-order, pure-FIR, any b2/a2 pattern);
+    matches the sequential form to ~1e-13."""
     x = np.asarray(x, dtype=np.float64)
     n_sections = sos.shape[0]
     n = len(x)
@@ -385,27 +389,14 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
         b0, b1, b2, _a0, a1, a2 = sos[s]
         z0, z1 = (0.0, 0.0) if zi is None else (zi[s, 0], zi[s, 1])
         f = b0 * x
-        if n > 1:
-            f[1:] += b1 * x[:-1]
-        if n > 2:
-            f[2:] += b2 * x[:-2]
+        f[1:] += b1 * x[:-1]
+        f[2:] += b2 * x[:-2]
+        f[0] += z0
+        f[1] += z1
         if a1 == 0.0 and a2 == 0.0:
-            # pure-FIR section (not produced by our designs, but legal
-            # SOS input): y = f with the state folding in directly
-            f[0] += z0
-            if n > 1:
-                f[1] += z1
-            y = f
+            y = f  # pure-FIR section: the recurrence is the identity
         else:
-            # DF-II-T state → virtual output history with x₋₁ = x₋₂ = 0:
-            #   z1 = −a2·y₋₁            z0 = −a1·y₋₁ − a2·y₋₂
-            if a2 != 0.0:
-                y1 = -z1 / a2
-                y2 = -(z0 + a1 * y1) / a2
-            else:  # first-order section: z1 ≡ 0 in our designs
-                y1 = -z0 / a1
-                y2 = 0.0
-            y = linear_recurrence2(-a1, -a2, f, y1, y2)
+            y = linear_recurrence2(-a1, -a2, f)
         zf[s, 0] = b1 * x[-1] + b2 * x[-2] - a1 * y[-1] - a2 * y[-2]
         zf[s, 1] = b2 * x[-1] - a2 * y[-1]
         x = y

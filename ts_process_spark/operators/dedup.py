@@ -320,7 +320,11 @@ def simhash_chunk_layout(n_bits: int, max_hamming: int) -> list[tuple[int, int]]
     bucket.  Round-1's fixed 4-chunk split with max_hamming=10 violated
     this (a pair with its bits spread across all 4 chunks was silently
     dropped); the layout is now DERIVED from the radius so the blocked
-    path has recall 1.0 by construction at every radius."""
+    path has recall 1.0 by construction at every radius — up to
+    `_bucket_pairs`' degenerate-bucket cap: a pair whose ONLY shared
+    chunk lands in a bucket larger than max_bucket is dropped WITH the
+    bucket, a policy decision surfaced by bucket_cap_metrics and
+    replicated in the DuckDB oracle (queries_docs._sql_simhash_md5)."""
     n_chunks = max_hamming + 1
     if n_chunks > n_bits:
         raise ValueError(f"max_hamming {max_hamming} needs more chunks than bits")
@@ -346,7 +350,10 @@ def simhash_pairs(
     are an equi-join on (chunk, value) — never a cross join.  The
     default radius 3 → 4 chunks of 16/15 bits is the classic web-dedup
     configuration; larger radii trade narrower chunks (bigger buckets)
-    for the same recall-1.0 guarantee, surfaced via bucket_cap_metrics."""
+    for the same pigeonhole guarantee.  Recall is 1.0 EXCEPT for pairs
+    whose every shared chunk sits in a degenerate bucket beyond
+    _bucket_pairs' cap — quantified by bucket_cap_metrics and
+    replicated in the oracle, never silent."""
     n_bits = 64 if hash_mode == "xxhash64" else 60
     sigs = simhash64(df, text_col, id_col, hash_mode)
     layout = simhash_chunk_layout(n_bits, max_hamming)
@@ -455,6 +462,10 @@ def connected_components(
                         F.coalesce(F.col("nmin"), F.col("component")),
                     ).alias("component"),
                 )
+                # materialize BEFORE the self-join below — otherwise the
+                # neighbor-min shuffle aggregate (the round's dominant
+                # cost) executes twice, once per join side
+                .localCheckpoint(eager=True)
             )
             # pointer doubling: component := min(component, label(component))
             parent = stepped.select(
@@ -469,7 +480,8 @@ def connected_components(
                         F.coalesce(F.col("pcomp"), F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)  # truncate lineage per round
+                .localCheckpoint(eager=True)  # consumed by the changed
+                # count AND the next round — materialize once
             )
             changed = (
                 updated.alias("n")

@@ -123,8 +123,14 @@ sh0 AS (
 e AS (SELECT id, {_h60_sql("sh")} AS h
       FROM (SELECT id, unnest(shs) AS sh FROM sh0)),
 sig AS (SELECT id, {mins} FROM e GROUP BY id),
-bands AS (
+bands0 AS (
     {band_selects}
+),
+bands AS (
+    -- replicate _bucket_pairs' max_bucket=10000 cap (see bucket_cap_metrics)
+    SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands0
+    ) WHERE bsz <= 10000
 ),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -173,8 +179,14 @@ WITH t AS (SELECT doc_id AS id, unnest({_WORDS_SQL}) AS wd FROM documents),
 hh AS (SELECT id, {_h60_sql("wd")} AS h FROM t),
 votes AS (SELECT id, {votes} FROM hh GROUP BY id),
 sim AS (SELECT id, {sim} AS simhash FROM votes),
-chunks AS (
+chunks0 AS (
     {chunk_selects}
+),
+chunks AS (
+    -- replicate _bucket_pairs' max_bucket=10000 cap (see bucket_cap_metrics)
+    SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS bsz FROM chunks0
+    ) WHERE bsz <= 10000
 ),
 cand AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
@@ -529,8 +541,16 @@ def _sql_emb_neardup(
     )
     return f"""
 WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
-bk AS (
+bk0 AS (
     {table_selects}
+),
+bk AS (
+    -- replicate _bucket_pairs' degenerate-bucket cap (max_bucket=10000)
+    -- so oracle and engine agree at ANY scale, not just when no bucket
+    -- is hot (surfaced engine-side via bucket_cap_metrics)
+    SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz FROM bk0
+    ) WHERE bsz <= 10000
 ),
 cand AS (
     SELECT DISTINCT x.id AS id_a, y.id AS id_b
@@ -584,9 +604,9 @@ WITH t AS (
     FROM h JOIN tot USING (doc_id) GROUP BY h.doc_id
 )
 SELECT t.doc_id AS media_id, t.kind, t.n_bytes,
-       round(s.byte_sum * 1.0 / s.n, 6) AS byte_mean,
-       round(s.entropy, 6) AS byte_entropy
-FROM t JOIN stats s ON s.doc_id = t.doc_id
+       coalesce(round(s.byte_sum * 1.0 / s.n, 6), 0.0) AS byte_mean,
+       coalesce(round(s.entropy, 6), 0.0) AS byte_entropy
+FROM t LEFT JOIN stats s ON s.doc_id = t.doc_id
 """
 
 

@@ -20,6 +20,14 @@ Representation contract (learned from the round-1 driver gate):
   ratio-valued outputs are replaced by exact integer surrogates
   (numerator/denominator or scaled integer division) wherever the ratio
   itself isn't load-bearing.
+- Accepted exception: the trig-based kernels (taper_tukey, rotmax_scan,
+  haversine, rotate expressions) round transcendental values — JVM
+  Math.cos vs libm cos may differ by 1 ulp, so a value within ~1 ulp of
+  a rounding boundary could flip one engine's last digit.  This is a
+  data-dependent residual risk of order 1e-10 per row, accepted because
+  the alternative is losing value-checks on the whole rotation/taper
+  family; verified hash-clean on the gate fixture at sf0.01 AND sf0.1
+  (110k+ rows).
 
 Reference citations are per-function; the mapping is semantic — e.g. the
 "window_kernels" derivative is the reference's first-difference kernel
