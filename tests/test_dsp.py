@@ -351,3 +351,41 @@ def test_get_periods_log_grid():
     assert len(p) == 20 and p[0] == pytest.approx(0.1) and p[-1] == pytest.approx(10.0)
     r = p[1:] / p[:-1]
     np.testing.assert_allclose(r, r[0])  # geometric spacing
+
+
+def test_linear_recurrence_property():
+    """Property test: the geometric-scan evaluation of first/second-order
+    recurrences matches the literal loop for random stable coefficients,
+    initial conditions, and forcing — including near-critically-damped
+    and heavily-damped pole pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        r=st.floats(0.01, 0.999),            # pole magnitude
+        theta=st.floats(0.0, 3.1),           # pole angle (0 → repeated-ish)
+        y1=st.floats(-2, 2),
+        y2=st.floats(-2, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(r, theta, y1, y2, seed):
+        rng = np.random.default_rng(seed)
+        f = rng.normal(size=300)
+        c1 = 2 * r * np.cos(theta)
+        c2 = -(r * r)
+        got = dsp.linear_recurrence2(c1, c2, f, y1, y2)
+        # literal loop with the same init (folded, zero-state)
+        out = np.empty(len(f))
+        g = f.copy()
+        g[0] += c1 * y1 + c2 * y2
+        g[1] += c2 * y1
+        a_, b_ = 0.0, 0.0
+        for i in range(len(f)):
+            y = c1 * a_ + c2 * b_ + g[i]
+            out[i] = y
+            b_, a_ = a_, y
+        scale = max(1.0, np.max(np.abs(out)))
+        np.testing.assert_allclose(got / scale, out / scale, atol=5e-9)
+
+    check()
