@@ -113,7 +113,9 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
         for pdf in batches:
             means, ents, feats = [], [], []
             for payload in pdf["payload"]:
-                m, e, f = byte_features(bytes(payload), n_dims)
+                m, e, f = byte_features(
+                    bytes(payload) if payload is not None else b"", n_dims
+                )
                 means.append(m)
                 ents.append(e)
                 feats.append(f)

@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 
 def quantized(col: Column) -> Column:
     """array<float> → array<long> at 1e-6 resolution (exact in both
-    Spark and DuckDB: float32→double is exact, round is shared)."""
+    Spark and DuckDB: float32→double is exact, round is shared).
+
+    Domain bound for the cross-engine equivalence: DuckDB's
+    list_dot_product accumulates in DOUBLE, so quantized dots must stay
+    ≤ 2^53 — i.e. component magnitudes ≲ 11 for 64-dim vectors
+    (|x|·1e6 squared ×64 < 9e15).  Normalized/near-normalized embeddings
+    (the fixture and any cosine use case) sit orders of magnitude below
+    the bound; Spark's int64 fold itself is exact far beyond it."""
     return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
 
 

@@ -22,9 +22,22 @@ STOPWORDS = {
 }
 
 
+# Explicit whitespace class == Java's \s == [ \t\n\x0B\f\r].  Spelled out
+# because the DuckDB oracles use RE2, whose \s EXCLUDES vertical tab —
+# with the explicit class both engines tokenize control characters
+# identically.  Kept in one place; queries_docs._WORDS_SQL mirrors it.
+WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (split on runs of whitespace, no empties)."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda w: w != "")
+    """Whitespace tokenization (split on runs of whitespace, no
+    empties).  NULL text normalizes to the empty token array — so every
+    downstream stat/dedup op sees an empty doc, matching the coalesce in
+    the SQL oracles instead of engine-specific NULL propagation."""
+    return F.filter(
+        F.split(F.trim(F.coalesce(col, F.lit(""))), WHITESPACE_CLASS),
+        lambda w: w != "",
+    )
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

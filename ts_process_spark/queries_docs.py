@@ -10,8 +10,11 @@ from pyspark.sql import functions as F
 
 from ts_process_spark.operators import dedup, multimodal, similarity, textstats
 
+# mirrors textstats.tokens: explicit whitespace class (RE2's \s differs
+# from Java's on vertical tab) + NULL text → empty array
 _WORDS_SQL = (
-    r"list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')"
+    r"list_filter(string_split_regex(trim(coalesce(text, '')),"
+    r" '[ \t\n\x0B\f\r]+'), w -> w <> '')"
 )
 
 
@@ -254,8 +257,8 @@ SQL_DOC_TOKEN_STATS = f"""
 SELECT doc_id,
        len({_WORDS_SQL}) AS n_tokens,
        len(list_distinct({_WORDS_SQL})) AS n_unique_tokens,
-       CAST(list_aggregate(list_transform({_WORDS_SQL}, w -> length(w)), 'sum')
-            AS BIGINT) AS token_chars
+       coalesce(CAST(list_aggregate(list_transform({_WORDS_SQL}, w -> length(w)),
+                     'sum') AS BIGINT), 0) AS token_chars
 FROM documents
 """
 

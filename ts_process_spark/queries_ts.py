@@ -20,13 +20,16 @@ Representation contract (learned from the round-1 driver gate):
   ratio-valued outputs are replaced by exact integer surrogates
   (numerator/denominator or scaled integer division) wherever the ratio
   itself isn't load-bearing.
-- Accepted exception: the trig-based kernels (taper_tukey, rotmax_scan,
-  haversine, rotate expressions) round transcendental values — JVM
-  Math.cos vs libm cos may differ by 1 ulp, so a value within ~1 ulp of
-  a rounding boundary could flip one engine's last digit.  This is a
-  data-dependent residual risk of order 1e-10 per row, accepted because
-  the alternative is losing value-checks on the whole rotation/taper
-  family; verified hash-clean on the gate fixture at sf0.01 AND sf0.1
+- Accepted exceptions: (a) the trig-based kernels (taper_tukey,
+  rotmax_scan, haversine, rotate expressions) round transcendental
+  values — JVM Math.cos vs libm cos may differ by 1 ulp, so a value
+  within ~1 ulp of a rounding boundary could flip one engine's last
+  digit; (b) gapfill_linear / integrate_trapezoid / median_by_type
+  round float interpolations whose expression trees are identical on
+  both sides, where only a representable-decimal tie could diverge.
+  Data-dependent residual risk of order 1e-10 per row, accepted because
+  the alternative is losing value-checks on those operator families;
+  verified hash-clean on the gate fixture at sf0.01 AND sf0.1
   (110k+ rows).
 
 Reference citations are per-function; the mapping is semantic — e.g. the
@@ -212,7 +215,7 @@ SQL_GAPFILL_LINEAR = f"""
 WITH base AS (
     SELECT event_id, user_id,
            CASE WHEN event_id % 50 <> 0 THEN value END AS v,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn
     FROM events
 ), marked AS (
     SELECT *,
@@ -283,7 +286,7 @@ SELECT event_id, user_id,
          ELSE 4 * c END AS smoothed_qc,
     CAST(c * count(*) OVER wp - sum(c) OVER wp AS BIGINT) AS dc_dev_scaled
 FROM (SELECT *, {_C} AS c FROM events)
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id),
        wp AS (PARTITION BY user_id)
 """
 
@@ -310,14 +313,14 @@ def q_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_INTEGRATE = f"""
 SELECT event_id, user_id,
-    round(sum(step) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    round(sum(step) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                           ROWS UNBOUNDED PRECEDING) / 3600.0, {R}) AS cum_integral_h
 FROM (
     SELECT event_id, user_id, ts,
         coalesce((value + lag(value) OVER w) / 2.0
                  * ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6), 0.0) AS step
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
 )
 """
 
@@ -347,14 +350,23 @@ def q_first_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First timestamp where |value| ≥ 1.5× the user's mean |value| — the
     Famp1.5 first-crossing search (rotd50.f:238-246): min over a filtered
     set, not a sort.  Also covers A1 peak=max|x| via the threshold
-    aggregate and J2 broadcast join of the per-user dim."""
+    aggregate and J2 broadcast join of the per-user dim.
+
+    The threshold test is EXACT integer arithmetic:
+    |v| ≥ 1.5·Σ|v|/n  ⟺  2·n·|v_c| ≥ 3·Σ|v_c| in cents — a raw float
+    avg would make boundary rows knife-edge on the engines' differing
+    float summation orders."""
     ev = _events(spark, sf_dir)
     thr = ev.groupBy("user_id").agg(
-        (1.5 * F.avg(F.abs(F.col("value")))).alias("thr")
+        F.sum(F.abs(_cents(F.col("value")))).alias("sum_abs_c"),
+        F.count(F.lit(1)).alias("n"),
     )
     j = ev.join(F.broadcast(thr), "user_id")
     return (
-        j.where(F.abs(F.col("value")) >= F.col("thr"))
+        j.where(
+            2 * F.col("n") * F.abs(_cents(F.col("value")))
+            >= 3 * F.col("sum_abs_c")
+        )
         .groupBy("user_id")
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -364,14 +376,17 @@ def q_first_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_FIRST_CROSSING = """
+SQL_FIRST_CROSSING = f"""
 WITH thr AS (
-    SELECT user_id, 1.5 * avg(abs(value)) AS thr FROM events GROUP BY user_id
+    SELECT user_id,
+           CAST(sum(abs({_C})) AS BIGINT) AS sum_abs_c,
+           count(*) AS n
+    FROM events GROUP BY user_id
 )
 SELECT e.user_id,
        strftime(min(e.ts), '%Y-%m-%d %H:%M:%S') AS first_crossing_ts
 FROM events e JOIN thr USING (user_id)
-WHERE abs(e.value) >= thr.thr
+WHERE 2 * thr.n * abs({_C.replace('value', 'e.value')}) >= 3 * thr.sum_abs_c
 GROUP BY e.user_id
 """
 
@@ -396,7 +411,7 @@ SQL_DECIMATE4 = """
 SELECT user_id, count(*) AS n_kept, round(sum(value), 2) AS sum_kept
 FROM (
     SELECT user_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn
     FROM events
 ) WHERE (rn - 1) % 4 = 0
 GROUP BY user_id
@@ -429,13 +444,13 @@ SQL_SESSIONIZE = """
 WITH g AS (
     SELECT user_id, ts, event_id,
         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
-             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) > 1800000000
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_s
     FROM events
 ), s AS (
     SELECT user_id,
-        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM g
 )
@@ -581,7 +596,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            # explicit floor: bare double→int casts disagree across
+            # engines on non-integral values (Spark truncates, DuckDB
+            # rounds) — floor pins one semantics on both sides
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
             # price(2dp) × (1-disc)(2dp) = exact 4dp → ×1e4 integer sum
             F.sum(
@@ -597,7 +615,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
            AS sum_base_price_c,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
@@ -731,9 +749,16 @@ FROM events
 
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props column (engine metrics pattern —
-    SURVEY §2.8 notes JSON only for lineage metrics) + aggregate."""
+    SURVEY §2.8 notes JSON only for lineage metrics) + aggregate.  The
+    integer parse is guarded by an explicit digits regex on BOTH sides:
+    the engines' bare string→int casts disagree on decimal strings
+    (DuckDB rounds, Spark ANSI errors) and DuckDB's json_extract errors
+    on malformed JSON where Spark returns NULL — the guards pin one
+    semantics (k counts iff the document is valid JSON and k is an
+    integer literal)."""
     ev = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("long")
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
@@ -742,11 +767,20 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 SELECT event_type,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-           AS sum_k,
-       count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END)
-           AS n_null_k
-FROM events GROUP BY event_type
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_null_k
+FROM (
+    SELECT event_type,
+        CASE WHEN ks IS NOT NULL AND regexp_full_match(ks, '-?[0-9]+')
+             THEN CAST(ks AS BIGINT) END AS k
+    FROM (
+        SELECT event_type,
+            CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
+)
+GROUP BY event_type
 """
 
 
@@ -848,7 +882,7 @@ def q_remove_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_REMOVE_PADDING = """
 WITH t AS (
     SELECT user_id, event_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
            count(*) OVER (PARTITION BY user_id) AS n
     FROM events
 )
@@ -893,7 +927,7 @@ def q_taper_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TAPER_TUKEY = f"""
 WITH t AS (
     SELECT event_id, user_id, value,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) - 1
                 AS DOUBLE) AS i,
            count(*) OVER (PARTITION BY user_id) AS n
     FROM events
@@ -1116,7 +1150,7 @@ def q_cascade_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CASCADE_FILLED = """
 WITH raw AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) - 1
                AS turn_idx,
            length(props) AS text_len,
            md5(props) AS th,
