@@ -99,8 +99,10 @@ def wordset_jaccard_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if group_col:
         cond = cond & (F.col("a.grp") == F.col("b.grp"))
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.ws"), F.col("b.ws"))))
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws"))).cast("long")
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a.ws"), F.col("b.ws")))
+    ).cast("long")
     return (
         a.join(b, cond)
         .select(
@@ -262,8 +264,8 @@ def minhash_dedup_pairs(
         cands.join(ws.withColumnRenamed("id", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
         .join(ws.withColumnRenamed("id", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")
     )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size(F.array_distinct(F.concat("ws_a", "ws_b")))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
+    union = F.size(F.array_distinct(F.concat("ws_a", "ws_b"))).cast("long")
     return (
         j.select(
             "id_a", "id_b", inter.alias("n_inter"), union.alias("n_union")
@@ -381,7 +383,7 @@ def simhash_pairs(
         F.col("id_b.id").alias("id_b"),
         F.bit_count(
             F.col("id_a.simhash").bitwiseXOR(F.col("id_b.simhash"))
-        ).alias("hamming"),
+        ).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
 
 
@@ -402,7 +404,7 @@ def simhash_pairs_exact(
         .select(
             "id_a",
             "id_b",
-            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
     )

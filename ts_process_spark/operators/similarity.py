@@ -85,7 +85,7 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -170,7 +170,7 @@ def ivf_ann_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -244,7 +244,7 @@ def srp_ann_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
@@ -260,7 +260,7 @@ def centroids_by_label(
     ex = df.select(
         F.col(label_col).alias("label"),
         F.posexplode(quantized(F.col(vec_col))).alias("dim", "qv"),
-    )
+    ).withColumn("dim", F.col("dim").cast("long"))
     return ex.groupBy("label", "dim").agg(
         F.round((F.sum("qv") / F.count(F.lit(1))) / 1e6, 6).alias("centroid")
     )

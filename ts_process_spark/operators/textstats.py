@@ -67,7 +67,9 @@ def stopword_count(col: Column, lang: str) -> Column:
     """Count of stopword occurrences (non-deduplicating filter, so the
     semantics match `list_filter`+`list_contains` in the SQL oracle)."""
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(tokens(col), lambda w: F.array_contains(stops, F.lower(w))))
+    return F.size(
+        F.filter(tokens(col), lambda w: F.array_contains(stops, F.lower(w)))
+    ).cast("long")
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -197,7 +197,7 @@ cand AS (
     FROM chunks a JOIN chunks b
       ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
 )
-SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 

@@ -663,7 +663,7 @@ def q_top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
     return (
-        li.withColumn("rnk", F.row_number().over(w))
+        li.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select(
             "l_suppkey",
@@ -872,7 +872,7 @@ def q_remove_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.where((F.col("i") >= pad) & (F.col("i") < F.col("n") - pad))
         .select(
             "user_id",
-            (F.col("i") - pad).alias("i"),
+            (F.col("i") - pad).cast("long").alias("i"),
             "event_id",
             _cents(F.col("value")).alias("value_c"),
         )
@@ -1115,8 +1115,8 @@ def q_cascade_1m_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_text_len",
         "peak_text_len",
         F.col("mean_text_len"),
-        "first_turn_idx",
-        "last_turn_idx",
+        F.col("first_turn_idx").cast("long").alias("first_turn_idx"),
+        F.col("last_turn_idx").cast("long").alias("last_turn_idx"),
         F.unix_micros("first_ts").alias("first_us"),
         F.unix_micros("last_ts").alias("last_us"),
         F.col("mean_gap_s"),
@@ -1138,8 +1138,8 @@ def q_cascade_1d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_gapfilled",
         "sum_text_len",
         "peak_text_len",
-        "first_turn_idx",
-        "last_turn_idx",
+        F.col("first_turn_idx").cast("long").alias("first_turn_idx"),
+        F.col("last_turn_idx").cast("long").alias("last_turn_idx"),
         F.unix_micros("first_ts").alias("first_us"),
         F.unix_micros("last_ts").alias("last_us"),
         F.col("mean_gap_s"),
