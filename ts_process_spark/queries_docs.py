@@ -592,8 +592,15 @@ WITH t AS (
            CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
     FROM documents
 ), b AS (
-    SELECT doc_id, ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
-    FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+    -- byte stream from the UTF-8 encoding (hex + '0x' cast), NOT
+    -- ascii(substr(...)) over codepoints: agrees with the byte-correct
+    -- Spark path for arbitrary non-ASCII text, not just the fixture
+    SELECT doc_id,
+           CAST('0x' || substr(hx, CAST(2 * i - 1 AS INTEGER), 2) AS BIGINT)
+               AS byte
+    FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                 unnest(generate_series(1, CAST(octet_length(encode(text)) AS BIGINT)))
+                     AS i
           FROM t)
 ), h AS (
     SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2

@@ -758,7 +758,10 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer literal)."""
     ev = _events(spark, sf_dir)
     ks = F.get_json_object("props", "$.k")
-    k = F.when(ks.rlike("^-?[0-9]+$"), ks.cast("long"))
+    # \A..\z, not ^..$: Java's $ also matches before a trailing line
+    # terminator, so "123\n" would pass here yet fail DuckDB's
+    # regexp_full_match — anchor to the true string ends on both engines
+    k = F.when(ks.rlike(r"\A-?[0-9]+\z"), ks.cast("long"))
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
         F.count(F.when(k.isNull(), 1)).alias("n_null_k"),

@@ -135,8 +135,12 @@ def stream_sessionize(
                 s[3] += L
             else:
                 sessions.append([t, t, 1, L])
-        sealed = [s for s in sessions if s[1] + gap_us <= wm_us]
-        open_ = [s for s in sessions if s[1] + gap_us > wm_us]
+        # STRICT seal: an admissible event may carry ts == watermark, and
+        # ts - session_end == gap still merges under batch semantics — a
+        # session whose merge window touches the watermark must stay open
+        # (sealing at <= emitted it one event too early at the boundary).
+        sealed = [s for s in sessions if s[1] + gap_us < wm_us]
+        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
         if open_:
             keep_from = open_[0][0]
             kept = [i for i in order if ts_list[i] >= keep_from]
@@ -145,8 +149,9 @@ def stream_sessionize(
                 [tl_list[i] for i in kept],
             ))
             # revisit when the watermark can seal the earliest open session
+            # (+1 ms: the seal test is strict, wm must pass end+gap)
             state.setTimeoutTimestamp(max(wm_us // 1000 + 1,
-                                          (open_[0][1] + gap_us) // 1000))
+                                          (open_[0][1] + gap_us) // 1000 + 1))
         else:
             state.remove()
         if sealed:
