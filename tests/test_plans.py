@@ -149,3 +149,15 @@ def test_registry_contract():
     assert set(o) <= set(q), set(o) - set(q)
     # every oracle is non-empty SQL
     assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_asof_join_is_union_stream(spark):
+    """The registered as-of join must be the union-stream + running
+    last() form: no join node at all (the equi-join + range-predicate
+    form materializes O(events × prior-orders) candidate rows per key —
+    the round-2 VERDICT scale-killer), and exactly one exchange."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["asof_join"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan

