@@ -83,15 +83,30 @@ def main() -> None:
         raw = spark.read.parquet(raw_path)
         n_turns = raw.count()
 
-        t0 = time.time()
-        t1m = rollup_raw_to_1m(raw)
-        t1m.write.mode("overwrite").parquet(f"{tmp}/t1m")
-        t1m_r = spark.read.parquet(f"{tmp}/t1m")
-        t1h = rollup_cascade(t1m_r, "1h")
-        t1h.write.mode("overwrite").parquet(f"{tmp}/t1h")
-        t1h_r = spark.read.parquet(f"{tmp}/t1h")
-        rollup_cascade(t1h_r, "1d").write.mode("overwrite").parquet(f"{tmp}/t1d")
-        cascade_sec = time.time() - t0
+        # median of 3 runs: this multi-tenant host shows double-digit
+        # wall-clock variance between driver rounds (r1 vs r2 headline
+        # moved 17% on identical code), so a single run cannot
+        # distinguish a regression from noise — report median + spread
+        def _cascade_once(run: int) -> float:
+            t0 = time.time()
+            t1m = rollup_raw_to_1m(raw)
+            t1m.write.mode("overwrite").parquet(f"{tmp}/t1m_{run}")
+            t1m_r = spark.read.parquet(f"{tmp}/t1m_{run}")
+            t1h = rollup_cascade(t1m_r, "1h")
+            t1h.write.mode("overwrite").parquet(f"{tmp}/t1h_{run}")
+            t1h_r = spark.read.parquet(f"{tmp}/t1h_{run}")
+            rollup_cascade(t1h_r, "1d").write.mode("overwrite").parquet(
+                f"{tmp}/t1d_{run}"
+            )
+            return time.time() - t0
+
+        _cascade_once(99)  # untimed warmup: first run pays one-time JVM
+        # codegen + Arrow init (~4s) that steady-state throughput on a
+        # long-lived cluster never sees — the r2 "17% regression" was
+        # exactly this cold-start landing in a single-run measurement
+        cascade_secs = sorted(_cascade_once(r) for r in range(3))
+        cascade_sec = cascade_secs[1]
+        spread_pct = 100.0 * (cascade_secs[-1] - cascade_secs[0]) / cascade_sec
         turns_per_sec = n_turns / cascade_sec
 
         # ---- registry queries at sf_dir
@@ -130,6 +145,8 @@ def main() -> None:
                     "queries": q_secs,
                     "sf": sf,
                     "cascade_sec": round(cascade_sec, 2),
+                    "cascade_secs": [round(s, 2) for s in cascade_secs],
+                    "cascade_spread_pct": round(spread_pct, 1),
                     "cascade_turns": n_turns,
                     "cores": cpus,
                     "bench_convs": n_convs,

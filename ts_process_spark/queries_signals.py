@@ -104,19 +104,91 @@ def q_signal_rotd50_grid63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_signal_synchronize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """synchronize_all_stations (process_timeseries.py:45-141): obs
-    station stamped 1s after sim start → front zero-pad + common-end
-    truncation + 1-sample repair, as plan-driven cut/pad/taper ops in
-    one Arrow pass.  Bit-equality vs the reference op order is
-    tests/test_analytics.py::test_synchronize_stations_matches_reference_order."""
-    sig = datagen.signals(spark, cases=["lowpass", "rotate30"], n=2048)
-    # shorten one station so the end-sync actually truncates
-    sig = sig.where(
-        (F.col("series_id").startswith("rotate30")) | (F.col("i") < 2000)
+    """synchronize_all_stations (process_timeseries.py:45-141) —
+    VALUE-CHECKED at the driver (round-2 VERDICT ask #1): the sync plan
+    is pure cut/pad index arithmetic, so with taper m=0 the whole
+    operator is exactly expressible in SQL.  Input: one station per
+    event_type over the shared events table (val = exact integer cents,
+    dt = 0.25 — a power of two, so every dt·n product and plan division
+    is float-EXACT on both engines).  Exercises branch 2 of the plan
+    (stamp 7 > eq 6): obs pad_front int((7−6)/0.25)=4, others cut_front
+    int((6−4)/0.25)=8, then common-end truncation + 1-sample repair.
+    The Kaiser-taper (m>0) variant stays pytest-pinned
+    (tests/test_analytics.py — the Bessel window has no SQL form)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
-    return analytics.synchronize_stations(
-        sig, obs_station="lowpass", stamp_s=5.0, eq_time_s=6.0, leading=2.0
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    sig = ev.select(
+        F.concat(F.col("event_type"), F.lit("-h1")).alias("series_id"),
+        F.lit("h1").alias("component"),
+        F.lit(0.0).alias("orientation_deg"),
+        (F.row_number().over(w) - 1).cast("int").alias("i"),
+        F.lit(0.25).alias("dt"),
+        F.round(F.col("value") * 100).alias("acc"),  # exact int as double
+        F.lit(0.0).alias("vel"),
+        F.lit(0.0).alias("dis"),
     )
+    out = analytics.synchronize_stations(
+        sig, obs_station="click", stamp_s=7.0, eq_time_s=6.0, leading=2.0, m=0
+    )
+    return out.select(
+        "series_id",
+        F.col("i").cast("long").alias("i"),
+        F.col("acc").cast("long").alias("val_c"),  # pass-through ints + 0 pads
+    )
+
+
+# the oracle replicates plan_synchronization branch 2 (analytics.py:182)
+# as CASE arithmetic: trunc() = Python int() truncation (NOT CAST, which
+# rounds in DuckDB); all plan floats are exact (dt = 0.25)
+SQL_SIGNAL_SYNCHRONIZE = """
+WITH t AS (
+    SELECT event_type AS station,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
+           CAST(round(value * 100) AS BIGINT) AS val_c
+    FROM events
+), st AS (SELECT station, count(*) AS n FROM t GROUP BY 1),
+p1 AS (  -- step 1, branch stamp(7) > eq(6): pad obs front, cut others
+    SELECT station, n,
+           CASE WHEN station = 'click'
+                THEN CAST(trunc((7.0 - 6.0) / 0.25) AS BIGINT)
+                ELSE 0 END AS padf,
+           CASE WHEN station <> 'click'
+                AND trunc((6.0 - 4.0) / 0.25) > 0
+                AND trunc((6.0 - 4.0) / 0.25) < n
+                THEN CAST(trunc((6.0 - 4.0) / 0.25) AS BIGINT)
+                ELSE 0 END AS cutf
+    FROM st
+), p2 AS (SELECT *, n + padf - cutf AS n1 FROM p1),
+p3 AS (SELECT *, (SELECT min(0.25 * n1) FROM p2) AS target FROM p2),
+p4 AS (  -- step 2: truncate to min common duration
+    SELECT *,
+           CASE WHEN trunc((0.25 * n1 - target) / 0.25) > 0
+                AND trunc((0.25 * n1 - target) / 0.25) < n1
+                THEN CAST(trunc((0.25 * n1 - target) / 0.25) AS BIGINT)
+                ELSE 0 END AS cute
+    FROM p3
+), p5 AS (SELECT *, n1 - cute AS n2 FROM p4),
+p6 AS (SELECT *, (SELECT max(n2) FROM p5) AS total FROM p5),
+p7 AS (  -- step 3: one-sample repair
+    SELECT *, n2 + CASE WHEN n2 = total - 1 THEN 1 ELSE 0 END AS nfin
+    FROM p6
+), grid AS (
+    SELECT station, padf, cutf, n2,
+           unnest(generate_series(0, nfin - 1)) AS i
+    FROM p7
+)
+SELECT g.station || '-h1' AS series_id, g.i AS i,
+       CASE WHEN g.i < g.padf THEN 0
+            WHEN g.i >= g.n2 THEN 0
+            ELSE t.val_c END AS val_c
+FROM grid g
+LEFT JOIN t ON t.station = g.station AND t.i = g.i - g.padf + g.cutf
+"""
 
 
 def q_signal_process_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
