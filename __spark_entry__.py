@@ -79,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
     for mod, fn in (
         ("ts_process_spark.queries_ts", "oracles_ts"),
         ("ts_process_spark.queries_docs", "oracles_docs"),
+        ("ts_process_spark.queries_signals", "oracles_signals"),
     ):
         try:
             m = __import__(mod, fromlist=[fn])

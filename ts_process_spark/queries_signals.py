@@ -268,3 +268,14 @@ def queries_signals() -> dict[str, object]:
         "signal_rotd50_grid63": q_signal_rotd50_grid63,
         "transcript_cascade_1d": q_transcript_cascade_1d,
     }
+
+
+def oracles_signals() -> dict[str, str]:
+    """DuckDB value-oracles for the signal kernels whose numerics are
+    exactly (or fold-) expressible in SQL over the shared parquet tables
+    (round-2 VERDICT ask #1).  Kernels NOT here (FAS/FFT, the Gorilla
+    blob cascade) are genuinely out of SQL reach and stay rows-only +
+    pytest-pinned."""
+    return {
+        "signal_synchronize": SQL_SIGNAL_SYNCHRONIZE,
+    }
