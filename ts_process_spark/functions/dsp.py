@@ -820,10 +820,23 @@ def interp_fft(data: np.ndarray, factor: int) -> np.ndarray:
 
 def polimod(x: np.ndarray, y: np.ndarray, n: int, m: int) -> np.ndarray:
     """Least-squares polynomial fit with the first m terms dropped
-    (ts_library.py:575-617): columns x^(m+1) … x^n, normal equations."""
+    (ts_library.py:575-617): columns x^(m+1) … x^n, normal equations.
+
+    The 2-unknown case (order 3 with constant+linear dropped) solves by
+    explicit Cramer instead of LAPACK: one fixed expression tree, so the
+    result is bit-reproducible anywhere IEEE doubles are (the DuckDB
+    value-oracle for signal_baseline_correct mirrors these exact ops)."""
     G = np.column_stack([x ** (j + 1 + m) for j in range(n - m)])
     GT = G.T
-    return np.linalg.solve(GT @ G, GT @ y)
+    A = GT @ G
+    b = GT @ y
+    if A.shape == (2, 2):
+        a11, a12, a22 = A[0, 0], A[0, 1], A[1, 1]
+        b1, b2 = b[0], b[1]
+        det = a11 * a22 - a12 * a12
+        return np.array([(b1 * a22 - b2 * a12) / det,
+                         (a11 * b2 - a12 * b1) / det])
+    return np.linalg.solve(A, b)
 
 
 def baseline_correction(

@@ -55,9 +55,102 @@ def q_signal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_signal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-5 polynomial baseline correction (ts_library.py:619-684)."""
-    sig = datagen.signals(spark, cases=["baseline"], n=2048)
-    return analytics.baseline_signals(sig, order=5)
+    """Polynomial baseline correction (baseline_function,
+    ts_library.py:619-684) — VALUE-CHECKED bit-exactly at the driver.
+
+    Order 3 drops the constant+linear terms, leaving a 2-unknown normal
+    system that dsp.polimod solves by explicit Cramer (one fixed
+    expression tree).  On this fixture every intermediate is EXACT
+    float64: acc = integer cents, dt = 1 → the trapezoid integrals live
+    on 0.25-grids < 2^53, the Vandermonde moments are exact integers
+    (Σt⁶ ≤ 32·31⁶ ≈ 3e10), and the b-moments are exact 0.25-grid sums —
+    so summation ORDER is irrelevant and the only rounding happens in
+    det/c₂/c₃/corrections, identical single IEEE ops on both engines.
+    The order-5 fixture variant (LAPACK path) stays pytest-pinned.
+    The +0.0 on the outputs canonicalizes -0.0 on both engines."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sig = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 32)
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            F.lit("h1").alias("component"),
+            F.lit(0.0).alias("orientation_deg"),
+            (F.col("rn") - 1).cast("int").alias("i"),
+            F.lit(1.0).alias("dt"),
+            F.round(F.col("value") * 100).alias("acc"),
+            F.lit(0.0).alias("vel"),
+            F.lit(0.0).alias("dis"),
+        )
+    )
+    out = analytics.baseline_signals(sig, order=3)
+    return out.select(
+        "series_id",
+        F.col("i").cast("long").alias("i"),
+        (F.col("acc") + F.lit(0.0)).alias("amod"),
+        (F.col("vel") + F.lit(0.0)).alias("vmod"),
+        (F.col("dis") + F.lit(0.0)).alias("dmod"),
+    )
+
+
+# mirrors dsp.baseline_correction order-3 op-for-op (integrate→integrate→
+# polimod Cramer→analytic corrections); every op is either exact or the
+# identical single IEEE-754 instruction on both engines — see
+# q_signal_baseline docstring for the exactness budget
+SQL_SIGNAL_BASELINE = """
+WITH t AS (
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
+           CAST(round(value * 100) AS DOUBLE) AS acc
+    FROM events
+    QUALIFY i < 32
+), v AS (
+    SELECT series_id, i, acc,
+           coalesce(sum(pair) OVER (PARTITION BY series_id ORDER BY i
+                                    ROWS UNBOUNDED PRECEDING), 0.0)
+             + (first_value(acc) OVER (PARTITION BY series_id ORDER BY i)
+                * 1.0) / 2.0 AS vel
+    FROM (SELECT *, (acc + lag(acc) OVER (PARTITION BY series_id ORDER BY i))
+                    * (1.0 / 2.0) AS pair
+          FROM t)
+), d AS (
+    SELECT series_id, i, acc, vel,
+           coalesce(sum(pair2) OVER (PARTITION BY series_id ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING), 0.0)
+             + (first_value(vel) OVER (PARTITION BY series_id ORDER BY i)
+                * 1.0) / 2.0 AS dis
+    FROM (SELECT *, (vel + lag(vel) OVER (PARTITION BY series_id ORDER BY i))
+                    * (1.0 / 2.0) AS pair2
+          FROM v)
+), x AS (
+    SELECT *, CAST(i AS DOUBLE) AS td,
+           CAST(i AS DOUBLE) * CAST(i AS DOUBLE) AS t2,
+           (CAST(i AS DOUBLE) * CAST(i AS DOUBLE)) * CAST(i AS DOUBLE) AS t3
+    FROM d
+), m AS (
+    SELECT series_id,
+           sum(t2 * t2) AS a11, sum(t2 * t3) AS a12, sum(t3 * t3) AS a22,
+           sum(t2 * dis) AS b1, sum(t3 * dis) AS b2
+    FROM x GROUP BY series_id
+), c AS (
+    SELECT series_id,
+           (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS c2,
+           (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS c3
+    FROM m
+)
+SELECT x.series_id, x.i,
+       ((x.acc - (((c.c2 * 2.0) * 1.0) + (((c.c3 * 3.0) * 2.0) * x.td))) / 1.0)
+           + 0.0 AS amod,
+       (x.vel - (((c.c2 * 2.0) * x.td) + ((c.c3 * 3.0) * x.t2))) + 0.0 AS vmod,
+       (x.dis - ((c.c2 * x.t2) + (c.c3 * x.t3))) + 0.0 AS dmod
+FROM x JOIN c USING (series_id)
+"""
 
 
 def q_signal_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,4 +371,5 @@ def oracles_signals() -> dict[str, str]:
     pytest-pinned."""
     return {
         "signal_synchronize": SQL_SIGNAL_SYNCHRONIZE,
+        "signal_baseline_correct": SQL_SIGNAL_BASELINE,
     }
