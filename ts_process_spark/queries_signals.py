@@ -295,28 +295,113 @@ def q_signal_process_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_signal_spline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-cubic-spline 2× upsample per series (the reference's
-    InterpSpline, rotd50.f:311-348 / spline.f / splint.f) as a grouped
-    Arrow kernel; exactness pinned by tests/test_dsp.py."""
-    import pandas as pd
+    InterpSpline, rotd50.f:311-348 / spline.f / splint.f) — VALUE-CHECKED
+    bit-exactly at the driver.
+
+    On a UNIT grid the Thomas sweeps in dsp.spline_second_derivs use
+    only exact constants (σ = 0.5, h = 1, the 6·Δ²y numerators are exact
+    half-integers), so the whole recurrence is a fixed chain of IEEE ops
+    that the DuckDB oracle replays with two recursive CTEs (the forward
+    c′/u sweep and the back-substitution); at the midpoints the blend
+    weights collapse to the exact constants (0.5, −0.375).  Sequential-
+    by-nature per series, parallel across series — the fixture variant
+    (dense grid, 1024 samples) stays pytest-pinned."""
     import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
 
     from ts_process_spark.functions.dsp import spline_interp
 
-    sig = datagen.signals(spark, cases=["lowpass"], n=1024)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    src = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where((F.col("cnt") >= 8) & (F.col("rn") <= 24))
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            (F.col("rn") - 1).cast("int").alias("i"),
+            F.round(F.col("value") * 100).alias("y"),
+        )
+    )
 
     def up(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("i")
         x = pdf["i"].to_numpy(np.float64)
-        y = pdf["vel"].to_numpy(np.float64)
+        y = pdf["y"].to_numpy(np.float64)
         xq = np.arange(0.0, x[-1] + 0.5, 0.5)
+        v = spline_interp(x, y, xq) + 0.0  # canonicalize -0.0
         return pd.DataFrame(
-            {"series_id": pdf["series_id"].iloc[0], "t_idx": xq,
-             "vel": spline_interp(x, y, xq)}
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "t2x": (2.0 * xq).astype(np.int64),  # exact 2·t_idx
+                "vel": v,
+            }
         )
 
-    return sig.groupBy("series_id").applyInPandas(
-        up, "series_id string, t_idx double, vel double"
+    return src.groupBy("series_id").applyInPandas(
+        up, "series_id string, t2x long, vel double"
     )
+
+
+# op-for-op replay of dsp.spline_second_derivs + spline_interp on the
+# unit grid (see q_signal_spline_upsample): fwd = the Thomas forward
+# sweep (cp_k = −0.5/p_k, u_k), bwd = the back substitution, midpoints
+# blend with the exact constants.  ly/ly2 are 1-indexed DuckDB lists.
+SQL_SIGNAL_SPLINE = """
+WITH RECURSIVE t AS (
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
+           CAST(round(value * 100) AS DOUBLE) AS y
+    FROM events
+    QUALIFY count(*) OVER (PARTITION BY user_id) >= 8 AND i < 24
+), ser AS (
+    SELECT series_id, count(*) AS n, list(y ORDER BY i) AS ly
+    FROM t GROUP BY 1
+), fwd AS (
+    SELECT series_id, n, ly, 1 AS k,
+           (-0.5::DOUBLE)::DOUBLE / ((0.5::DOUBLE * 0.0::DOUBLE) + 2.0::DOUBLE) AS cp,
+           ((6.0::DOUBLE * (((ly[3] - ly[2]) / 1.0::DOUBLE) - ((ly[2] - ly[1]) / 1.0::DOUBLE))) / 2.0
+            - 0.5::DOUBLE * 0.0::DOUBLE) / ((0.5::DOUBLE * 0.0::DOUBLE) + 2.0::DOUBLE) AS u
+    FROM ser WHERE n > 2
+    UNION ALL
+    SELECT series_id, n, ly, k + 1,
+           (-0.5::DOUBLE)::DOUBLE / ((0.5::DOUBLE * cp) + 2.0::DOUBLE),
+           ((6.0::DOUBLE * (((ly[k + 3] - ly[k + 2]) / 1.0::DOUBLE)
+                    - ((ly[k + 2] - ly[k + 1]) / 1.0::DOUBLE))) / 2.0
+            - 0.5::DOUBLE * u) / ((0.5::DOUBLE * cp) + 2.0::DOUBLE)
+    FROM fwd WHERE k + 1 <= n - 2
+), fwd2 AS (
+    SELECT series_id, 0 AS k, 0.0::DOUBLE AS cp, 0.0::DOUBLE AS u FROM ser
+    UNION ALL
+    SELECT series_id, k, cp, u FROM fwd
+), bwd AS (
+    SELECT series_id, n, n - 1 AS k, 0.0::DOUBLE AS y2 FROM ser
+    UNION ALL
+    SELECT b.series_id, b.n, b.k - 1, (f.cp * b.y2) + f.u
+    FROM bwd b JOIN fwd2 f ON f.series_id = b.series_id AND f.k = b.k - 1
+    WHERE b.k - 1 >= 0
+), y2l AS (
+    SELECT series_id, list(y2 ORDER BY k) AS ly2 FROM bwd GROUP BY 1
+), grid AS (
+    SELECT series_id, n, ly,
+           unnest(generate_series(0, 2 * (n - 1))) AS j
+    FROM ser
+)
+SELECT g.series_id, g.j AS t2x,
+       CASE WHEN g.j % 2 = 0 THEN g.ly[g.j // 2 + 1] + 0.0
+            ELSE (((0.5::DOUBLE * g.ly[(g.j - 1) // 2 + 1])
+                   + (0.5::DOUBLE * g.ly[(g.j - 1) // 2 + 2]))
+                  + ((((-0.375)::DOUBLE * z.ly2[(g.j - 1) // 2 + 1])
+                      + ((-0.375)::DOUBLE * z.ly2[(g.j - 1) // 2 + 2])) * 1.0::DOUBLE) / 6.0::DOUBLE)
+                 + 0.0
+       END AS vel
+FROM grid g JOIN y2l z USING (series_id)
+"""
 
 
 def q_transcript_cascade_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,4 +457,5 @@ def oracles_signals() -> dict[str, str]:
     return {
         "signal_synchronize": SQL_SIGNAL_SYNCHRONIZE,
         "signal_baseline_correct": SQL_SIGNAL_BASELINE,
+        "signal_spline_upsample": SQL_SIGNAL_SPLINE,
     }
