@@ -382,7 +382,12 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
     x = np.asarray(x, dtype=np.float64)
     n_sections = sos.shape[0]
     n = len(x)
-    if n < 8:
+    if n < 512:
+        # short series: the literal DF2T loop wins (the blocked-scan
+        # setup costs more than ~1k Python iterations) AND is a fixed
+        # sequential chain of IEEE ops — which is what lets the DuckDB
+        # value-oracles replay signal_process_dt / signal_ellip_bandpass
+        # bit-exactly as recursive-CTE folds (queries_signals.py)
         return sosfilt_seq(sos, x, zi)
     zf = np.zeros((n_sections, 2))
     for s in range(n_sections):
@@ -650,6 +655,35 @@ def sos_freq_response(sos: np.ndarray, w: np.ndarray) -> np.ndarray:
     return np.abs(h)
 
 
+def design_sos(
+    dt: float,
+    btype: str,
+    fmin: float = 0.0,
+    fmax: float = 0.0,
+    N: int = 4,
+    family: str = "butter",
+    rp: float = 0.1,
+    rs: float = 100.0,
+) -> np.ndarray:
+    """The design half of filter_data: Nyquist normalization + family
+    dispatch → SOS coefficients.  Split out so the DuckDB value-oracle
+    builders can embed the EXACT runtime coefficients as SQL literals."""
+    nyq = (1.0 / dt) / 2.0
+    if btype == "bandpass":
+        Wn = [fmin / nyq, fmax / nyq]
+    elif btype == "lowpass":
+        Wn = fmax / nyq
+    elif btype == "highpass":
+        Wn = fmin / nyq
+    else:
+        raise ValueError(btype)
+    if family == "butter":
+        return butter_sos(N, Wn, btype)
+    if family == "ellip":
+        return ellip_sos(N, rp, rs, Wn, btype)
+    raise ValueError(f"unknown filter family {family!r}")
+
+
 def filter_data(
     data: np.ndarray,
     dt: float,
@@ -667,21 +701,8 @@ def filter_data(
     through the vectorized filtfilt (the reference applies ellip via
     transfer-function filtfilt; the SOS form is the numerically robust
     equivalent of the same design)."""
-    nyq = (1.0 / dt) / 2.0
-    if btype == "bandpass":
-        Wn = [fmin / nyq, fmax / nyq]
-    elif btype == "lowpass":
-        Wn = fmax / nyq
-    elif btype == "highpass":
-        Wn = fmin / nyq
-    else:
-        raise ValueError(btype)
-    if family == "butter":
-        sos = butter_sos(N, Wn, btype)
-    elif family == "ellip":
-        sos = ellip_sos(N, rp, rs, Wn, btype)
-    else:
-        raise ValueError(f"unknown filter family {family!r}")
+    sos = design_sos(dt, btype, fmin=fmin, fmax=fmax, N=N,
+                     family=family, rp=rp, rs=rs)
     return sosfiltfilt(sos, data)
 
 

@@ -128,6 +128,18 @@ def shingles(col: Column, k: int = 3) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+MINHASH_P = 2147483647  # 2^31 − 1: (h%P)·a + b < 2^62 — ANSI-overflow-safe
+
+
+def minhash_affine_consts(p: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the p-th affine MinHash permutation —
+    shared by the Spark pipeline and the DuckDB oracle SQL builder
+    (queries_docs._sql_minhash_md5) so both engines mix identically."""
+    a = (1103515245 * (p + 1) + 12345) % (MINHASH_P - 2) + 1
+    b = (69069 * (p + 1) + 1234567) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     n_perm: int = 64,
@@ -151,9 +163,15 @@ def minhash_signatures(
     if hash_mode == "xxhash64":
         perm = lambda p: F.xxhash64(F.col("h"), F.lit(p))  # noqa: E731
     else:
-        perm = lambda p: hash60(  # noqa: E731
-            F.concat(F.col("h").cast("string"), F.lit(f"|{p}"))
-        )
+        # md5 (oracle) mode: affine permutations (a·h + b) mod P over the
+        # 60-bit base hash reduced mod the 31-bit prime P — exact BIGINT
+        # arithmetic both engines can run (products < 2^62, so no ANSI
+        # overflow), ONE md5 per shingle instead of n_perm md5-string
+        # hashes (which made this the gate's slowest query in round 2)
+        hm = F.col("h") % MINHASH_P
+        perm = lambda p: (  # noqa: E731
+            hm * minhash_affine_consts(p)[0] + minhash_affine_consts(p)[1]
+        ) % MINHASH_P
     mins = [F.min(perm(p)).alias(f"m{p}") for p in range(n_perm)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))

@@ -99,9 +99,14 @@ def q_minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_md5(n_perm: int = 64, n_bands: int = 16, rpb: int = 4) -> str:
-    perm_exprs = [
-        _h60_sql("h::VARCHAR || '|%d'" % p) for p in range(n_perm)
-    ]
+    # affine (a·h + b) mod P permutations, constants shared with the
+    # Spark pipeline (dedup.minhash_affine_consts) — exact BIGINT both
+    # engines; ONE md5 per shingle instead of n_perm (round-3 VERDICT #5)
+    P = dedup.MINHASH_P
+    perm_exprs = []
+    for p in range(n_perm):
+        a, b = dedup.minhash_affine_consts(p)
+        perm_exprs.append(f"(((h % {P}) * {a} + {b}) % {P})")
     mins = ",\n        ".join(
         f"min({perm_exprs[p]}) AS m{p}" for p in range(n_perm)
     )

@@ -10,6 +10,8 @@ mildly by sf_dir so bench sees more work than smoke."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,13 +40,23 @@ def q_signal_bandpass_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_signal_ellip_bandpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elliptic (rp=0.1 dB, rs=100 dB) zero-phase band-pass incl. the
-    pad rule — the reference's family='ellip' path (ts_library.py:
-    836-884, scipy.signal.ellip + filtfilt), designed from closed forms
-    in dsp.ellip_sos; equiripple spec pinned by
-    tests/test_dsp.py::test_ellip_design_meets_spec."""
-    sig = datagen.signals(spark, cases=["bandpass"], n=2048)
-    return analytics.filter_signals(
-        sig, "bandpass", fmin=0.2, fmax=8.0, family="ellip", rp=0.1, rs=100.0
+    1.5·N/fmin zero-pad rule — the reference's family='ellip' path
+    (ts_library.py:836-884, scipy.signal.ellip + filtfilt), designed
+    from closed forms in dsp.ellip_sos — VALUE-CHECKED bit-exactly at
+    the driver: the DuckDB oracle replays pad → odd-extension → the
+    4-biquad DF2T cascade forward+backward as recursive-CTE folds with
+    the engine's own runtime coefficients embedded as literals (see
+    _filtfilt_replay_sql).  Equiripple spec + the long-series fixture
+    stay pytest-pinned (tests/test_dsp.py::test_ellip_design_meets_spec)."""
+    sig = _event_sig(spark, sf_dir, cnt_min=28, rn_cap=64, dt=0.01)
+    out = analytics.filter_signals(
+        sig, "bandpass", fmin=2.0, fmax=8.0, family="ellip", rp=0.1,
+        rs=100.0, cols=("acc",),
+    )
+    return out.select(
+        "series_id",
+        F.col("i").cast("long").alias("i"),
+        (F.col("acc") + F.lit(0.0)).alias("acc_f"),
     )
 
 
@@ -153,10 +165,175 @@ FROM x JOIN c USING (series_id)
 """
 
 
-def q_signal_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Station rotation by 30° (ts_library.py:686-777)."""
-    sig = datagen.signals(spark, cases=["rotate30"], n=1024)
-    return analytics.rotate_station(sig, 30.0)
+def _event_sig(
+    spark: SparkSession, sf_dir: str, cnt_min: int, rn_cap: int, dt: float
+) -> DataFrame:
+    """Per-user signal-table series from the shared events parquet:
+    acc = the raw `value` doubles (identical bits in both engines),
+    vel/dis = 0.  Users shorter than cnt_min are dropped and series are
+    capped at rn_cap rows so the oracle's fold depth is bounded."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where((F.col("cnt") >= cnt_min) & (F.col("rn") <= rn_cap))
+        .select(
+            F.col("user_id").cast("string").alias("series_id"),
+            F.lit("h1").alias("component"),
+            F.lit(0.0).alias("orientation_deg"),
+            (F.col("rn") - 1).cast("int").alias("i"),
+            F.lit(dt).alias("dt"),
+            F.col("value").alias("acc"),
+            F.lit(0.0).alias("vel"),
+            F.lit(0.0).alias("dis"),
+        )
+    )
+
+
+def _filtfilt_replay_sql(
+    *,
+    dt: float,
+    btype: str,
+    fmin: float = 0.0,
+    fmax: float = 0.0,
+    N: int = 4,
+    family: str = "butter",
+    rp: float = 0.1,
+    rs: float = 100.0,
+    cnt_min: int,
+    rn_cap: int,
+) -> str:
+    """Generate the DuckDB replay of filter_signals over _event_sig:
+    the same zero-pad rule, odd-extension, zi·x₀ steady-state seed and
+    the DF2T biquad cascade as ONE recursive CTE per pass.
+
+    Bit-exactness: dsp.sosfilt takes the literal sequential loop for
+    series under 512 samples, i.e. exactly these fixtures, so every
+    sample is the same fixed chain of IEEE ops on both engines; the SOS
+    and zi coefficients are computed HERE by the same dsp design code
+    the engine runs and embedded as full-precision literals."""
+    import numpy as np
+
+    from ts_process_spark.functions.dsp import _sos_zi, design_sos
+
+    sos = design_sos(dt, btype, fmin=fmin, fmax=fmax, N=N,
+                     family=family, rp=rp, rs=rs)
+    zi = _sos_zi(sos)
+    ns = sos.shape[0]
+    pad = 0
+    if fmin and btype in ("highpass", "bandpass"):
+        tz_pad = (1.5 * N / fmin) / dt  # dsp.pad_for_highpass
+        pad = int(np.round(tz_pad / 2.0))
+    padlen = 3 * (2 * ns + 1)
+    # padlen must be the constant min(3·ntaps, len-1) for every series
+    assert cnt_min + 2 * pad - 1 >= padlen, "series too short for pad rule"
+
+    def lit(v: float) -> str:
+        # NOT a decimal literal: DuckDB 1.0's string→DOUBLE parse is off
+        # by 1 ulp for some 17-digit values (found the hard way), so
+        # encode the exact IEEE bits as mantissa·2^exp — both factors and
+        # the product are exact (the multiply only shifts the exponent)
+        m, e = math.frexp(float(v))
+        return f"({int(m * (1 << 53))}::DOUBLE * power(2.0::DOUBLE, ({e - 53})::DOUBLE))"
+
+    def step(w: str, z: list[list[str]]) -> tuple[str, list[list[str]]]:
+        """One DF2T cascade step (dsp.sosfilt_seq): returns (y, new z)."""
+        cur = w
+        newz = []
+        for s in range(ns):
+            b0, b1, b2, _a0, a1, a2 = sos[s]
+            xn = f"(({lit(b0)} * {cur}) + {z[s][0]})"
+            newz.append([
+                f"((({lit(b1)} * {cur}) - ({lit(a1)} * {xn})) + {z[s][1]})",
+                f"(({lit(b2)} * {cur}) - ({lit(a2)} * {xn}))",
+            ])
+            cur = xn
+        return cur, newz
+
+    zcols = [f"z{s}{j}" for s in range(ns) for j in (0, 1)]
+
+    def pass_sql(name: str, src: str, w_base: str, w_step: str,
+                 seed: str, carry: str) -> str:
+        """Recursive CTE for one filtering pass.  seed = the scalar the
+        steady-state zi is scaled by (zi·x₀ / zi·y[-1])."""
+        z0 = [[f"({lit(zi[s][j])} * {seed})" for j in (0, 1)] for s in range(ns)]
+        y_b, z_b = step(w_base, z0)
+        zref = [[f"z{s}0", f"z{s}1"] for s in range(ns)]
+        y_s, z_s = step(w_step, zref)
+        base_cols = ", ".join(
+            f"{e} AS {c}" for e, c in zip(
+                [x for pair in z_b for x in pair], zcols)
+        )
+        step_cols = ", ".join(x for pair in z_s for x in pair)
+        return f"""{name} AS (
+    SELECT series_id, n, L, {carry}, 1 AS idx, {y_b} AS y, {base_cols}
+    FROM {src}
+    UNION ALL
+    SELECT series_id, n, L, {carry}, idx + 1, {y_s}, {step_cols}
+    FROM {name} WHERE idx + 1 <= L
+)"""
+
+    zeros = f"list_transform(generate_series(1, {pad}), q -> (0.0)::DOUBLE)"
+    lxp = (
+        f"list_concat(list_concat({zeros}, lx0), {zeros})" if pad else "lx0"
+    )
+    f1 = pass_sql(
+        "f1", "ext",
+        w_base="e[1]", w_step="e[idx + 1]",
+        seed="e[1]", carry="e",
+    )
+    f2 = pass_sql(
+        "f2", "y1l",
+        w_base="ly1[L]", w_step="ly1[L - idx]",
+        seed="ly1[L]", carry="ly1",
+    )
+    off = padlen + pad  # engine strips filtfilt padlen, then the zero pad
+    return f"""
+WITH RECURSIVE t AS (
+    SELECT CAST(user_id AS VARCHAR) AS series_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
+           value AS x
+    FROM events
+    QUALIFY count(*) OVER (PARTITION BY user_id) >= {cnt_min}
+        AND i < {rn_cap}
+), ser AS (
+    SELECT series_id, count(*) AS n, list(x ORDER BY i) AS lx0
+    FROM t GROUP BY 1
+), padded AS (
+    SELECT series_id, n, {lxp} AS lx, n + {2 * pad} AS np FROM ser
+), ext AS (
+    SELECT series_id, n, np + {2 * padlen} AS L,
+           list_concat(
+               list_concat(
+                   list_transform(generate_series({padlen + 1}, 2, -1),
+                                  k -> ((2.0)::DOUBLE * lx[1]) - lx[k]),
+                   lx),
+               list_transform(generate_series(np - 1, np - {padlen}, -1),
+                              k -> ((2.0)::DOUBLE * lx[np]) - lx[k])
+           ) AS e
+    FROM padded
+), {f1}, y1l AS (
+    SELECT series_id, n, L, list(y ORDER BY idx) AS ly1
+    FROM f1 GROUP BY series_id, n, L
+), {f2}, y2l AS (
+    SELECT series_id, n, L, list(y ORDER BY idx) AS ly2
+    FROM f2 GROUP BY series_id, n, L
+), grid AS (
+    SELECT series_id, L, ly2,
+           unnest(generate_series(0, n - 1)) AS i
+    FROM y2l
+)
+SELECT series_id, CAST(i AS BIGINT) AS i,
+       ly2[L - {off} - i] + (0.0)::DOUBLE AS acc_f
+FROM grid
+"""
 
 
 def q_signal_fas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,11 +463,20 @@ LEFT JOIN t ON t.station = g.station AND t.i = g.i - g.padf + g.cutf
 
 def q_signal_process_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's main pipeline stage fused into one Arrow pass
-    (process_timeseries_dt, ts_library.py:992-1043): interp→taper→
-    lowpass; bit-equality vs the kernel composition is
-    tests/test_analytics.py::test_process_signals_dt_matches_kernel_composition."""
-    sig = datagen.signals(spark, cases=["lowpass", "rotate30"], n=2048)
-    return analytics.process_signals_dt(sig, new_dt=0.02, fmax=5.0, taper=64)
+    (process_timeseries_dt, ts_library.py:992-1043): interp dispatch →
+    Butterworth-lowpass filtfilt — VALUE-CHECKED bit-exactly at the
+    driver via the same filtfilt fold replay as signal_ellip_bandpass
+    (new_dt == dt exercises the no-op interp branch; the decimate and
+    taper stages are value-checked by decimate4 / taper_tukey, and the
+    full interp→taper→filter fixture composition stays pytest-pinned:
+    tests/test_analytics.py::test_process_signals_dt_matches_kernel_composition)."""
+    sig = _event_sig(spark, sf_dir, cnt_min=16, rn_cap=64, dt=0.01)
+    out = analytics.process_signals_dt(sig, new_dt=0.01, fmax=5.0, taper=None)
+    return out.select(
+        "series_id",
+        F.col("i").cast("long").alias("i"),
+        (F.col("acc") + F.lit(0.0)).alias("acc_f"),
+    )
 
 
 def q_signal_spline_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,4 +644,12 @@ def oracles_signals() -> dict[str, str]:
         "signal_synchronize": SQL_SIGNAL_SYNCHRONIZE,
         "signal_baseline_correct": SQL_SIGNAL_BASELINE,
         "signal_spline_upsample": SQL_SIGNAL_SPLINE,
+        "signal_process_dt": _filtfilt_replay_sql(
+            dt=0.01, btype="lowpass", fmax=5.0, N=4, family="butter",
+            cnt_min=16, rn_cap=64,
+        ),
+        "signal_ellip_bandpass": _filtfilt_replay_sql(
+            dt=0.01, btype="bandpass", fmin=2.0, fmax=8.0, N=4,
+            family="ellip", rp=0.1, rs=100.0, cnt_min=28, rn_cap=64,
+        ),
     }
