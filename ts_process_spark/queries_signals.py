@@ -196,6 +196,16 @@ def _event_sig(
     )
 
 
+def _dlit(v: float) -> str:
+    """Exact DOUBLE literal for DuckDB.  NOT a decimal literal: DuckDB
+    1.0's string→DOUBLE parse is off by 1 ulp for some 17-digit values
+    (found the hard way), so encode the exact IEEE bits as mantissa·2^exp
+    — both factors and the product are exact (the multiply only shifts
+    the exponent)."""
+    m, e = math.frexp(float(v))
+    return f"({int(m * (1 << 53))}::DOUBLE * power(2.0::DOUBLE, ({e - 53})::DOUBLE))"
+
+
 def _filtfilt_replay_sql(
     *,
     dt: float,
@@ -234,13 +244,7 @@ def _filtfilt_replay_sql(
     # padlen must be the constant min(3·ntaps, len-1) for every series
     assert cnt_min + 2 * pad - 1 >= padlen, "series too short for pad rule"
 
-    def lit(v: float) -> str:
-        # NOT a decimal literal: DuckDB 1.0's string→DOUBLE parse is off
-        # by 1 ulp for some 17-digit values (found the hard way), so
-        # encode the exact IEEE bits as mantissa·2^exp — both factors and
-        # the product are exact (the multiply only shifts the exponent)
-        m, e = math.frexp(float(v))
-        return f"({int(m * (1 << 53))}::DOUBLE * power(2.0::DOUBLE, ({e - 53})::DOUBLE))"
+    lit = _dlit
 
     def step(w: str, z: list[list[str]]) -> tuple[str, list[list[str]]]:
         """One DF2T cascade step (dsp.sosfilt_seq): returns (y, new z)."""
@@ -352,12 +356,47 @@ def q_signal_rotd50(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_signal_rotd50_grid63(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RotD50 over the reference's EXACT 63-period output domain
     (rotd50.f:36-45) with its Famp1.5 first-crossing scalar
-    (rotd50.f:238-246) appended per station."""
+    (rotd50.f:238-246) appended per station — VALUE-CHECKED bit-exactly
+    at the driver (the Fortran-subprocess replacement, end to end).
+
+    Stations come from event_type, the horizontal pair from event_id
+    parity.  On ≤64-sample series dsp.oscillator_response takes the
+    literal Nigam–Jennings loop (a fixed IEEE chain), and every
+    transcendental constant — the per-period oscillator coefficients,
+    w², and the cos/sin of the 90 Fortran-quirk rotation angles — is
+    computed at oracle-build time BY THE SAME dsp CODE the engine runs
+    and embedded as exact mantissa·2^exp literals, so the DuckDB replay
+    (recursive-CTE oscillator fold → amplitude pre-filter → 180-value
+    rotation scan → rank-90/91 median → Famp1.5) needs no trig at all.
+    The 1024-sample fixture variant stays pytest-pinned."""
     from pyspark.sql import Window
 
     from ts_process_spark.functions.dsp import ROTD50_PERIODS_FULL
 
-    sig = datagen.signals(spark, cases=["rotate30"], n=1024)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    comp = (F.col("event_id") % 2 == 0)
+    w0 = Window.partitionBy("event_type", comp).orderBy("ts", "event_id")
+    sig = (
+        ev.withColumn("rn", F.row_number().over(w0))
+        .where(F.col("rn") <= 64)
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.when(comp, F.lit("-h1")).otherwise(F.lit("-h2")),
+            ).alias("series_id"),
+            F.when(comp, F.lit("h1")).otherwise(F.lit("h2")).alias("component"),
+            F.when(comp, F.lit(0.0)).otherwise(F.lit(90.0)).alias(
+                "orientation_deg"
+            ),
+            (F.col("rn") - 1).cast("int").alias("i"),
+            F.lit(0.01).alias("dt"),
+            F.col("value").alias("acc"),
+            F.lit(0.0).alias("vel"),
+            F.lit(0.0).alias("dis"),
+        )
+    )
     rd = analytics.rotd50_stations(sig, periods=list(ROTD50_PERIODS_FULL))
     # Famp1.5 (rotd50.f:238-246): frequency 1/T of the FIRST period
     # past the anchor where rotd50/rotd50[T=0.01] >= 1.5 — min period
@@ -370,7 +409,14 @@ def q_signal_rotd50_grid63(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("period"),
         )
     ).over(w)
-    return rd.withColumn("famp15", famp)
+    return rd.withColumn("famp15", famp).select(
+        "station",
+        "period",
+        (F.col("psa_h1") + F.lit(0.0)).alias("psa_h1"),
+        (F.col("psa_h2") + F.lit(0.0)).alias("psa_h2"),
+        (F.col("rotd50") + F.lit(0.0)).alias("rotd50"),
+        (F.col("famp15") + F.lit(0.0)).alias("famp15"),
+    )
 
 
 def q_signal_synchronize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,6 +636,142 @@ FROM grid g JOIN y2l z USING (series_id)
 """
 
 
+def _rotd50_replay_sql(
+    dt: float = 0.01, damping: float = 0.05, rn_cap: int = 64
+) -> str:
+    """DuckDB replay of q_signal_rotd50_grid63 (dsp.rotd50 +
+    oscillator_response_seq + the Famp1.5 window) — see that query's
+    docstring for why this is bit-exact.  All transcendental constants
+    (Nigam–Jennings coefficients, w², the Fortran-quirk angle cos/sin)
+    are computed HERE by the same dsp code the engine runs."""
+    import numpy as np
+
+    from ts_process_spark.functions import dsp
+
+    ps = np.array(sorted(float(p) for p in dsp.ROTD50_PERIODS_FULL))
+    prow = []
+    for pidx, period in enumerate(ps):
+        w = 2.0 * np.pi / period
+        (a11, a12, a21, a22), (b11, b12, b21, b22) = dsp.oscillator_coeffs(
+            w, damping, dt
+        )
+        t2 = w**2
+        prow.append(
+            f"({pidx}, {_dlit(period)}, {_dlit(a11)}, {_dlit(a12)}, "
+            f"{_dlit(a21)}, {_dlit(a22)}, {_dlit(b11)}, {_dlit(b12)}, "
+            f"{_dlit(b21)}, {_dlit(b22)}, {_dlit(t2)})"
+        )
+    periods_sql = (
+        "SELECT * FROM (VALUES\n        "
+        + ",\n        ".join(prow)
+        + "\n    ) AS p(pidx, period, a11, a12, a21, a22, b11, b12, b21, b22, t2)"
+    )
+    angles = np.radians(np.arange(90) * (3.14159 / np.pi))  # rotd50.f's π
+    cosr, sinr = np.cos(angles), np.sin(angles)
+    arow = [
+        f"({k}, {_dlit(cosr[k])}, {_dlit(sinr[k])})" for k in range(90)
+    ]
+    angles_sql = (
+        "SELECT * FROM (VALUES\n        "
+        + ",\n        ".join(arow)
+        + "\n    ) AS a(k, cosr, sinr)"
+    )
+
+    def dstep(d: str, v: str, ap: str, xn: str, comp: str) -> tuple[str, str]:
+        """Nigam–Jennings state update, the exact Python op grouping:
+        (((a·d) + (a·v)) + (b·a_prev)) + (b·x)."""
+        dp = f"((((a11 * {d}) + (a12 * {v})) + (b11 * {ap})) + (b12 * {xn}))"
+        vp = f"((((a21 * {d}) + (a22 * {v})) + (b21 * {ap})) + (b22 * {xn}))"
+        return dp, vp
+
+    Z = "(0.0)::DOUBLE"
+    dp1_0, vp1_0 = dstep(Z, Z, Z, "x1[1]", "1")
+    dp2_0, vp2_0 = dstep(Z, Z, Z, "x2[1]", "2")
+    dp1_s, vp1_s = dstep("d1", "v1", "ap1", "x1[i + 2]", "1")
+    dp2_s, vp2_s = dstep("d2", "v2", "ap2", "x2[i + 2]", "2")
+
+    return f"""
+WITH RECURSIVE base AS (
+    SELECT event_type AS station, event_id % 2 AS comp,
+           row_number() OVER (PARTITION BY event_type, event_id % 2
+                              ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
+           value AS x
+    FROM events
+    QUALIFY i < {rn_cap}
+), l1 AS (
+    SELECT station, count(*) AS n1, list(x ORDER BY i) AS lx1
+    FROM base WHERE comp = 0 GROUP BY 1
+), l2 AS (
+    SELECT station, count(*) AS n2, list(x ORDER BY i) AS lx2
+    FROM base WHERE comp = 1 GROUP BY 1
+), pair AS (
+    SELECT station, least(n1, n2) AS n,
+           lx1[1:least(n1, n2)] AS x1, lx2[1:least(n1, n2)] AS x2
+    FROM l1 JOIN l2 USING (station)
+), periods AS (
+    {periods_sql}
+), angles AS (
+    {angles_sql}
+), osc AS (
+    SELECT station, pidx, n, x1, x2,
+           a11, a12, a21, a22, b11, b12, b21, b22, t2,
+           0 AS i,
+           {dp1_0} AS d1, {vp1_0} AS v1, x1[1] AS ap1,
+           {dp2_0} AS d2, {vp2_0} AS v2, x2[1] AS ap2,
+           {dp1_0} * t2 AS th1, {dp2_0} * t2 AS th2
+    FROM pair CROSS JOIN periods
+    UNION ALL
+    SELECT station, pidx, n, x1, x2,
+           a11, a12, a21, a22, b11, b12, b21, b22, t2,
+           i + 1,
+           {dp1_s}, {vp1_s}, x1[i + 2],
+           {dp2_s}, {vp2_s}, x2[i + 2],
+           {dp1_s} * t2, {dp2_s} * t2
+    FROM osc WHERE i + 1 <= n - 1
+), sa AS (
+    SELECT station, pidx, max(abs(th1)) AS sa1, max(abs(th2)) AS sa2
+    FROM osc GROUP BY 1, 2
+), masked AS (
+    SELECT o.station, o.pidx, o.th1, o.th2
+    FROM osc o JOIN sa USING (station, pidx)
+    WHERE greatest(abs(o.th1), abs(o.th2)) > least(sa.sa1, sa.sa2) / 1.5::DOUBLE
+), rot AS (
+    SELECT m.station, m.pidx, a.k,
+           max(abs((a.cosr * m.th1) - (a.sinr * m.th2))) AS sax,
+           max(abs((a.sinr * m.th1) + (a.cosr * m.th2))) AS say
+    FROM masked m CROSS JOIN angles a
+    GROUP BY 1, 2, 3
+), agg AS (
+    SELECT station, pidx,
+           list(sax ORDER BY k) AS lx, list(say ORDER BY k) AS ly
+    FROM rot GROUP BY 1, 2
+), res AS (
+    SELECT station, pidx, lx[1] AS psa_h1, ly[1] AS psa_h2,
+           (list_sort(list_concat(lx, ly))[90]
+            + list_sort(list_concat(lx, ly))[91]) / 2.0::DOUBLE AS rotd50
+    FROM agg
+), fin AS (
+    SELECT r.station, r.pidx, p.period, r.psa_h1, r.psa_h2, r.rotd50
+    FROM res r JOIN periods p USING (pidx)
+), f0 AS (
+    SELECT station, max(CASE WHEN pidx = 0 THEN rotd50 END) AS ref0
+    FROM fin GROUP BY 1
+), fam AS (
+    SELECT fin.station,
+           1.0::DOUBLE / min(CASE WHEN fin.pidx > 0
+                             AND fin.rotd50 >= 1.5::DOUBLE * f0.ref0
+                             THEN fin.period END) AS famp15
+    FROM fin JOIN f0 USING (station) GROUP BY fin.station
+)
+SELECT fin.station, fin.period,
+       fin.psa_h1 + (0.0)::DOUBLE AS psa_h1,
+       fin.psa_h2 + (0.0)::DOUBLE AS psa_h2,
+       fin.rotd50 + (0.0)::DOUBLE AS rotd50,
+       fam.famp15 + (0.0)::DOUBLE AS famp15
+FROM fin JOIN fam USING (station)
+"""
+
+
 def q_transcript_cascade_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship: gap-filled raw→1m tier with Gorilla/DoD
     blobs on deterministic transcripts (exactness vs the pandas oracle
@@ -652,4 +834,5 @@ def oracles_signals() -> dict[str, str]:
             dt=0.01, btype="bandpass", fmin=2.0, fmax=8.0, N=4,
             family="ellip", rp=0.1, rs=100.0, cnt_min=28, rn_cap=64,
         ),
+        "signal_rotd50_grid63": _rotd50_replay_sql(),
     }
