@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64,
                     help="conv_id hash buckets = resume/commit granularity")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--parallelism", type=int, default=4,
+                    help="concurrent bucket chains (1 = serial); the "
+                         "commit protocol is per unit, so resume "
+                         "semantics are identical at any setting")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +59,8 @@ def main() -> None:
         raw = spark.read.parquet(args.input)
 
     t0 = time.time()
-    result = backfill(spark, raw, TableSet(args.root), n_buckets=args.buckets)
+    result = backfill(spark, raw, TableSet(args.root), n_buckets=args.buckets,
+                      parallelism=args.parallelism)
     wall = time.time() - t0
     problems = verify_lineage(spark, TableSet(args.root))
     n_turns = sum(r["rows_in"] for r in TableSet(args.root).read_lineage()

@@ -70,3 +70,30 @@ def test_lineage_detects_tamper(spark, raw, tmp_path):
     tables.read_tier(spark, "1d").limit(1).write.mode("overwrite").parquet(victim)
     problems = verify_lineage(spark, tables)
     assert any("1d/0" in p for p in problems)
+
+
+def test_backfill_parallel_matches_serial(spark, raw, tmp_path):
+    """parallelism=4 must produce the SAME committed set and per-unit
+    value hashes as the serial run (bucket chains are independent; the
+    commit protocol is per unit), and resuming a parallel backfill must
+    skip everything."""
+    ser = TableSet(str(tmp_path / "ser"))
+    par = TableSet(str(tmp_path / "par"))
+    backfill(spark, raw, ser, n_buckets=N_BUCKETS)
+    r = backfill(spark, raw, par, n_buckets=N_BUCKETS, parallelism=4)
+    assert r["committed"] == 3 * N_BUCKETS
+
+    def key_hashes(t):
+        return {
+            (rec["tier"], rec["bucket_id"]): (rec["rows_out"], rec["value_hash"])
+            for rec in t.read_lineage()
+        }
+
+    assert key_hashes(par) == key_hashes(ser)
+    assert verify_lineage(spark, par) == []
+
+    r2 = backfill(spark, raw, par, n_buckets=N_BUCKETS, parallelism=4)
+    assert r2["skipped"] == 3 * N_BUCKETS and r2["committed"] == 0
+
+    with pytest.raises(ValueError):
+        backfill(spark, raw, par, n_buckets=N_BUCKETS, parallelism=2, fail_after=1)

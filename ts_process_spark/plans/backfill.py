@@ -117,30 +117,52 @@ def backfill(
     n_buckets: int = 8,
     max_units: int | None = None,
     fail_after: int | None = None,
+    parallelism: int = 1,
 ) -> dict:
     """Run (or resume) the raw→1m→1h→1d cascade bucket by bucket.
 
     ``max_units`` / ``fail_after`` exist for the resume tests: stop after
-    N (tier, bucket) commits, simulating a mid-backfill crash.  Returns
-    {"committed": k, "skipped": s}.
-    """
+    N (tier, bucket) commits, simulating a mid-backfill crash (serial
+    mode only).  Returns {"committed": k, "skipped": s}.
+
+    ``parallelism > 1`` runs BUCKET CHAINS concurrently (round-2 VERDICT
+    #6): buckets are independent by construction (whole conversations
+    per bucket), so each worker thread drives its own chain of Spark
+    jobs — tiers stay ordered within a bucket, the lineage append is the
+    only serialized step (one lock), and each thread tags its jobs with
+    a scheduler pool so a straggler bucket can't starve the rest.  The
+    commit protocol (overwrite THEN lineage) is per unit and unchanged,
+    so crash-resume semantics are identical at any parallelism."""
+    import threading
+
     run_id = uuid.uuid4().hex[:12]
     os.makedirs(tables.root, exist_ok=True)
     done = tables.committed()
     bucketed = with_bucket(raw, n_buckets)
-    committed = skipped = 0
-    for bucket_id in range(n_buckets):
+    if parallelism > 1 and (max_units is not None or fail_after is not None):
+        raise ValueError("crash-simulation knobs require parallelism=1")
+
+    lock = threading.Lock()
+    counts = {"committed": 0, "skipped": 0}
+
+    def run_bucket(bucket_id: int) -> bool:
+        """One bucket's tier chain; returns False on early stop."""
+        if parallelism > 1:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", f"backfill-{bucket_id % parallelism}"
+            )
         src = bucketed.where(F.col("bucket_id") == bucket_id).drop("bucket_id")
         child: DataFrame | None = None
         for tier in TIER_ORDER:
             key = (tier, bucket_id)
             if key in done:
-                skipped += 1
+                with lock:
+                    counts["skipped"] += 1
                 # the next tier reads the committed partition
                 child = spark.read.parquet(tables.partition_dir(tier, bucket_id))
                 continue
-            if max_units is not None and committed >= max_units:
-                return {"committed": committed, "skipped": skipped}
+            if max_units is not None and counts["committed"] >= max_units:
+                return False
             started = time.time()
             if tier == "1m":
                 out = rollup_raw_to_1m(src)
@@ -151,26 +173,38 @@ def backfill(
             out = out.sortWithinPartitions("conv_id", "bucket_ts")
             pdir = tables.partition_dir(tier, bucket_id)
             out.write.mode("overwrite").parquet(pdir)  # idempotent overwrite
-            if fail_after is not None and committed + 1 >= fail_after:
+            if fail_after is not None and counts["committed"] + 1 >= fail_after:
                 # simulate a crash AFTER data write, BEFORE lineage commit:
                 # the resume run must redo this unit
-                return {"committed": committed, "skipped": skipped, "crashed": True}
+                counts["crashed"] = True
+                return False
             written = spark.read.parquet(pdir)
-            tables.append_lineage(
-                {
-                    "run_id": run_id,
-                    "tier": tier,
-                    "bucket_id": bucket_id,
-                    "rows_in": rows_in,
-                    "rows_out": written.count(),
-                    "value_hash": value_hash(written, HASH_COLS),
-                    "started_at": started,
-                    "committed_at": time.time(),
-                }
-            )
-            committed += 1
+            rec = {
+                "run_id": run_id,
+                "tier": tier,
+                "bucket_id": bucket_id,
+                "rows_in": rows_in,
+                "rows_out": written.count(),
+                "value_hash": value_hash(written, HASH_COLS),
+                "started_at": started,
+                "committed_at": time.time(),
+            }
+            with lock:
+                tables.append_lineage(rec)
+                counts["committed"] += 1
             child = written
-    return {"committed": committed, "skipped": skipped}
+        return True
+
+    if parallelism <= 1:
+        for bucket_id in range(n_buckets):
+            if not run_bucket(bucket_id):
+                break
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            list(pool.map(run_bucket, range(n_buckets)))
+    return dict(counts)
 
 
 def verify_lineage(spark: SparkSession, tables: TableSet) -> list[str]:
