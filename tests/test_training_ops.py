@@ -309,3 +309,53 @@ def test_emb_neardup_blocked_recall(spark):
     recall = len(bl & ex) / len(ex) if ex else 1.0
     print(f"emb_neardup blocked recall @0.35 (fixture, non-near pairs): {recall:.3f}")
     assert bl <= ex
+
+
+def test_bmp_wav_roundtrip():
+    """The pure-NumPy codecs: encode→decode is exact, including odd
+    widths (4-byte row padding) and the RIFF chunk walk."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for h, w in ((7, 5), (16, 16), (3, 1)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = multimodal.decode_bmp(multimodal.encode_bmp(img))
+        assert np.array_equal(got, img), (h, w)
+    pcm = rng.integers(-32768, 32767, size=701, dtype=np.int16)
+    rate, got = multimodal.decode_wav(multimodal.encode_wav(pcm, 8000))
+    assert rate == 8000 and np.array_equal(got, pcm)
+    import pytest as _pt
+    with _pt.raises(ValueError):  # truncated header fails cleanly
+        multimodal.decode_bmp(multimodal.encode_bmp(pcm.reshape(-1, 1))[:30])
+
+
+def test_decoded_features_end_to_end(spark):
+    """extract_decoded_features drives the REAL decoders through
+    mapInPandas: BMP images and WAV audio decode with exact
+    pixel/sample stats; unsupported payloads cost one decoded_ok=false
+    row, never a task failure."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    pcm = (1000 * np.sin(np.arange(400) / 5.0)).astype(np.int16)
+    rows = [
+        (1, "image", bytearray(multimodal.encode_bmp(img)),
+         (None, None, None, 0)),
+        (2, "audio", bytearray(multimodal.encode_wav(pcm)),
+         (None, None, None, 0)),
+        (3, "image", bytearray(b"\x89PNG garbage"), (None, None, None, 0)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r.media_id: r
+        for r in multimodal.extract_decoded_features(media).collect()
+    }
+    luma = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).ravel()
+    assert got[1].decoded_ok and abs(got[1].d_mean - luma.mean()) < 1e-12
+    assert abs(got[1].d_std - luma.std()) < 1e-12
+    vals = np.abs(pcm.astype(np.float64))
+    assert got[2].decoded_ok and got[2].d_peak == vals.max()
+    assert abs(got[2].d_mean - vals.mean()) < 1e-12
+    assert not got[3].decoded_ok and got[3].d_mean is None

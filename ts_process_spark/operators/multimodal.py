@@ -10,10 +10,12 @@ feature vector — the standard cheap corpus-QA features (truncation,
 corruption and format drift all move them) that need no codec.  They
 are exact functions of the payload bytes and are value-checked against
 a DuckDB oracle at the driver gate (queries_docs.q_multimodal_features).
-``decode_image`` is the pluggable boundary where a real codec
-(PIL/libjpeg, unavailable in this container) would slot in for
-pixel-level features; it raises NotImplementedError by design rather
-than pretending.
+DECODE is real for the container-friendly formats: uncompressed 24-bit
+BMP and PCM16 WAV are parsed natively (pure NumPy/struct — no codec
+library), with pixel/sample-level features in
+``extract_decoded_features``; compressed formats (JPEG/PNG) remain the
+honest pluggable boundary in ``decode_image`` (PIL/libjpeg are not in
+this container) and raise NotImplementedError rather than pretending.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -23,6 +25,7 @@ parallelism is ordinary partition parallelism.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -83,10 +86,93 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER,
+    bottom-up, 4-byte row padding) — the deterministic fixture source
+    for the decode path; pure NumPy + struct, no codec library."""
+    h, w = arr.shape[:2]
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    row = w * 3
+    pad = (-row) % 4
+    img = arr[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    body = b"".join(img[r].tobytes() + b"\x00" * pad for r in range(h))
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return head + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decode → (H, W, 3) uint8 RGB.  Pure
+    NumPy/struct parse of BITMAPFILEHEADER + BITMAPINFOHEADER; handles
+    bottom-up and top-down rows and the 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})"
+        )
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=pixel_off
+    ).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV writer (RIFF/WAVE fmt+data chunks)."""
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM16 mono/stereo WAV decode → (sample_rate, int16 array).
+    Walks the RIFF chunk list (fmt may not be first)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, data
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real image decode would live here (PIL/libjpeg not in this
-    container)."""
-    raise NotImplementedError("image codecs unavailable in this environment")
+    """Image decode dispatch: BMP is implemented natively (pure NumPy —
+    no codec library needed); compressed formats (JPEG/PNG) remain the
+    honest pluggable boundary since libjpeg/PIL are not in this
+    container."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "compressed image codecs (JPEG/PNG) unavailable in this environment"
+    )
 
 
 def byte_features(payload: bytes, n_dims: int = 8) -> tuple[float, float, list[float]]:
@@ -131,3 +217,61 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("decoded_ok", T.BooleanType(), False),
+        T.StructField("d_mean", T.DoubleType(), True),
+        T.StructField("d_std", T.DoubleType(), True),
+        T.StructField("d_peak", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_decoded_features(media: DataFrame) -> DataFrame:
+    """DECODED (pixel/sample-level) features through the real codecs:
+    BMP → luma mean/std/max, WAV → |sample| mean/std/max.  Payloads the
+    decoders don't support yield decoded_ok=false rows instead of
+    failing the batch — at corpus scale a poisoned payload must cost one
+    row, not a task retry storm."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if kind == "image":
+                        img = decode_image(b)
+                        luma = (
+                            0.299 * img[..., 0]
+                            + 0.587 * img[..., 1]
+                            + 0.114 * img[..., 2]
+                        )
+                        vals = luma.ravel()
+                    elif kind == "audio":
+                        _rate, pcm = decode_wav(b)
+                        vals = np.abs(pcm.astype(np.float64))
+                    else:
+                        raise NotImplementedError(kind)
+                    rows.append(
+                        (mid, kind, True, float(vals.mean()),
+                         float(vals.std()), float(vals.max()))
+                    )
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    rows.append((mid, kind, False, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "decoded_ok", "d_mean", "d_std",
+                    "d_peak",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
