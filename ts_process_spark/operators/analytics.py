@@ -294,7 +294,12 @@ def synchronize_stations(
     samples) aggregate feeds the driver-side plan; the cut/pad/taper
     ops then run in ONE grouped Arrow pass over the (large) sample data
     — per-component, exactly the reference loop order.  Requires a
-    ``station`` column (series_id = '<station>-<component>')."""
+    ``station`` column (series_id = '<station>-<component>').
+
+    The plan collect is bounded by STATION COUNT (two ints per station),
+    not sample count — fine up to ~10^6 stations on a normal driver; a
+    larger registry would move plan_synchronization into a distributed
+    join (the plan itself is already a pure function of (dt, n))."""
     sdf = _station_col(df)
     rows = (
         sdf.groupBy("station", "series_id")

@@ -1,12 +1,21 @@
-"""Rows-only registry entries for the signal-kernel surface and the
-transcript tier cascade.  These operators have no ANSI-SQL equivalent
-(IIR recurrences, oscillator response, Gorilla blobs), so the driver
-records rows-only checks; their exactness is pinned by the pytest
-oracles instead (tests/test_dsp.py, test_analytics.py, test_rollup.py).
+"""Signal-kernel registry entries — now mostly DRIVER-VALUE-CHECKED.
 
-Inputs are synthesized deterministically (seeded datagen) — the signal
-fixtures mirror the reference's test style (FIXTURES.md F2), scaled
-mildly by sf_dir so bench sees more work than smoke."""
+Round 3 converted six of the eight round-2 rows-only kernels to full
+DuckDB value-oracles by (a) deriving their inputs from the shared
+events parquet (identical bits in both engines), (b) keeping the REAL
+Arrow kernels on the Spark side, and (c) replaying the numerics in SQL
+with op-for-op IEEE fidelity: pure index arithmetic (synchronize m=0),
+exact-grid integer math (baseline Cramer), recursive-CTE folds for the
+sequential recurrences (spline Thomas sweeps, DF2T filtfilt cascades,
+the Nigam–Jennings oscillator), and engine-computed constants embedded
+as exact mantissa·2^exp literals.  Only the genuinely non-SQL kernels
+remain rows-only: signal_fas (FFT butterflies have no fixed SQL op
+order) and transcript_cascade_1d (Gorilla/DoD blobs) — both pinned by
+pytest (tests/test_dsp.py, test_analytics.py, test_rollup.py).
+
+The long-series seeded-datagen fixtures (FIXTURES.md F2) stay as pytest
+coverage for the vectorized-scan paths the short driver fixtures don't
+take."""
 
 from __future__ import annotations
 
