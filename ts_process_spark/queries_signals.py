@@ -8,10 +8,12 @@ with op-for-op IEEE fidelity: pure index arithmetic (synchronize m=0),
 exact-grid integer math (baseline Cramer), recursive-CTE folds for the
 sequential recurrences (spline Thomas sweeps, DF2T filtfilt cascades,
 the Nigam–Jennings oscillator), and engine-computed constants embedded
-as exact mantissa·2^exp literals.  Only the genuinely non-SQL kernels
-remain rows-only: signal_fas (FFT butterflies have no fixed SQL op
-order) and transcript_cascade_1d (Gorilla/DoD blobs) — both pinned by
-pytest (tests/test_dsp.py, test_analytics.py, test_rollup.py).
+as exact mantissa·2^exp literals.  Only one genuinely non-SQL kernel
+remains rows-only: signal_fas (FFT butterflies have no fixed SQL op
+order), pinned by pytest (tests/test_dsp.py, test_analytics.py); even
+the Gorilla/DoD blob payload is value-checked now, via the decode
+roundtrip in queries_ts.cascade_blob_roundtrip (the transcript-shaped
+blob cascade stays pytest-pinned in test_rollup.py + benched).
 
 The long-series seeded-datagen fixtures (FIXTURES.md F2) stay as pytest
 coverage for the vectorized-scan paths the short driver fixtures don't
@@ -810,7 +812,8 @@ def queries_signals() -> dict[str, object]:
     signal_rotate_station is value-checked at the driver via
     queries_ts.rotmax_scan (and taper via taper_tukey);
     signal_rotd50 is subsumed by signal_rotd50_grid63;
-    transcript_cascade_1m by transcript_cascade_1d.  All dropped
+    transcript_cascade_1m/1d by queries_ts.cascade_blob_roundtrip
+    (which value-checks the blob payload itself).  All dropped
     variants remain pytest-pinned (tests/test_analytics.py,
     tests/test_dsp.py, tests/test_rollup.py)."""
     return {
@@ -821,7 +824,6 @@ def queries_signals() -> dict[str, object]:
         "signal_process_dt": q_signal_process_dt,
         "signal_synchronize": q_signal_synchronize,
         "signal_rotd50_grid63": q_signal_rotd50_grid63,
-        "transcript_cascade_1d": q_transcript_cascade_1d,
     }
 
 

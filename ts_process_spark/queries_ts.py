@@ -1277,10 +1277,88 @@ FROM t1d
 """
 
 
+def q_cascade_blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gorilla/DoD BLOB PAYLOAD value-checked at the driver: run the
+    full raw→1m→1h→1d cascade, DECODE every 1d row's ts/val blobs
+    through the real codecs (delta-of-delta timestamps, Gorilla XOR
+    floats, chunked-container concat across two tiers), and emit exact
+    integer functionals of the decoded point set — count, xor-fold,
+    min/max of the decoded timestamps, sum of the decoded values.  The
+    DuckDB oracle recomputes the same functionals from the raw events
+    (including gap-fill), so encode→concat→concat→decode must be
+    LOSSLESS point-for-point to hash-match.  This retires the last
+    blob-shaped rows-only check (bit-level layout stays pytest-pinned,
+    tests/test_codecs.py)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ts_process_spark.functions.codecs import decode_dod, decode_gorilla
+    from ts_process_spark.operators.rollup import full_cascade
+
+    t1d = full_cascade(_events_as_transcripts(spark, sf_dir))["1d"]
+    slim = t1d.select(
+        "conv_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "ts_blob",
+        "val_blob",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv, b, tb, vb in zip(
+                pdf["conv_id"], pdf["bucket_ts"], pdf["ts_blob"], pdf["val_blob"]
+            ):
+                ts = decode_dod(bytes(tb))
+                val = decode_gorilla(bytes(vb))
+                rows.append(
+                    (
+                        conv,
+                        b,
+                        len(ts),
+                        int(np.bitwise_xor.reduce(ts)) if len(ts) else 0,
+                        int(ts.min()),
+                        int(ts.max()),
+                        int(val.sum()),  # exact: text lengths < 2^53
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "conv_id", "bucket_ts", "n_pts", "ts_xor", "ts_min",
+                    "ts_max", "val_sum",
+                ],
+            )
+
+    return slim.mapInPandas(
+        run,
+        "conv_id string, bucket_ts string, n_pts long, ts_xor long, "
+        "ts_min long, ts_max long, val_sum long",
+    )
+
+
+SQL_CASCADE_BLOB_ROUNDTRIP = _SQL_CASCADE_FILLED + """
+SELECT conv_id,
+    strftime(date_trunc('day', make_timestamp(us_f)), '%Y-%m-%d %H:%M:%S')
+        AS bucket_ts,
+    count(*) AS n_pts,
+    CAST(bit_xor(us_f) AS BIGINT) AS ts_xor,
+    min(us_f) AS ts_min,
+    max(us_f) AS ts_max,
+    CAST(sum(text_len) AS BIGINT) AS val_sum
+FROM filled
+WHERE us_f IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def queries_ts() -> dict[str, object]:
     return {
         "cascade_1m_events": q_cascade_1m_events,
         "cascade_1d_events": q_cascade_1d_events,
+        "cascade_blob_roundtrip": q_cascade_blob_roundtrip,
         "streaming_rollup_1m": q_streaming_rollup_1m,
         "remove_padding": q_remove_padding,
         "rollup_1m": q_rollup_1m,
@@ -1313,6 +1391,7 @@ def oracles_ts() -> dict[str, str]:
     return {
         "cascade_1m_events": SQL_CASCADE_1M_EVENTS,
         "cascade_1d_events": SQL_CASCADE_1D_EVENTS,
+        "cascade_blob_roundtrip": SQL_CASCADE_BLOB_ROUNDTRIP,
         "streaming_rollup_1m": SQL_STREAMING_ROLLUP_1M,
         "remove_padding": SQL_REMOVE_PADDING,
         "rollup_1m": SQL_ROLLUP_1M,
