@@ -90,8 +90,12 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
             F.sum(F.length("text")).alias("sum_text_len"),
         )
         .where(
+            # STRICT <, matching the stream's seal rule: a session whose
+            # merge window still touches the watermark stays open (an
+            # admissible event at ts == watermark with ts − end == gap
+            # would merge under batch semantics)
             F.col("session_end") + F.expr(f"INTERVAL {gap_s} SECONDS")
-            <= F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+            < F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
         )
         .select("conv_id", "session_start", "session_end", "n_turns", "sum_text_len")
     )
