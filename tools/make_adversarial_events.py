@@ -1,0 +1,77 @@
+"""Build an adversarial events fixture for oracle-pair stress runs.
+
+The driver gate runs at sf0.01, whose events table never exercises the
+hostile corners — this generator does: per-user counts exactly on every
+query's filter boundary (8/16/28 and below), duplicate timestamps
+(order-tie resolution), NULL ts (gap-fill + NULLS FIRST ordering), NULL
+props (text coalescing), ±0.0 and ±999.99 values (sign-of-zero through
+round(), exactness-budget edges), constant and all-zero series (Gorilla
+XOR zero runs, degenerate fits), and wide time spreads (multi-bucket
+tiers).  Non-events tables are symlinked from sf0.001.
+
+Usage:
+    python tools/make_adversarial_events.py [out_dir=/root/testdata_adv]
+    python tools/check_oracles.py /root/testdata_adv [query ...]
+
+Round-3 findings it caught: -0.0 surviving DuckDB round() but not
+Spark's in gapfill_linear / taper_tukey / rotmax_scan (fixed with +0.0
+canonicalization on both engines); every signal fold oracle passed
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np  # noqa: F401  (kept for fixture tweaks)
+import pandas as pd
+
+
+def main() -> None:
+    d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_adv"
+    os.makedirs(d, exist_ok=True)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        dst = f"{d}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+
+    rows: list[tuple] = []
+    T0 = pd.Timestamp("2024-03-01 00:00:00")
+    eid = 0
+
+    def add(user, n, *, dup_ts=False, null_ts_every=None, null_props_every=None,
+            vals=None, etype="click", step_s=7):
+        nonlocal eid
+        for k in range(n):
+            ts = T0 + pd.Timedelta(seconds=(k // (2 if dup_ts else 1)) * step_s)
+            if null_ts_every and k % null_ts_every == 3:
+                ts = pd.NaT
+            v = vals[k % len(vals)] if vals else round(((k * 37) % 1999) - 999 + 0.25, 2)
+            props = None if (null_props_every and k % null_props_every == 1) \
+                else f'{{"k": "{k}"}}'
+            rows.append((eid, ts, user, etype, float(v), props))
+            eid += 1
+
+    add(1000, 8, etype="error")            # spline/baseline boundary
+    add(1001, 16, etype="purchase")        # process_dt boundary (padlen == n-1)
+    add(1002, 28, etype="signup")          # ellip boundary
+    add(1003, 7, etype="view")             # below every threshold
+    add(1004, 80, dup_ts=True, null_ts_every=11, null_props_every=7,
+        vals=[0.0, -0.0, 0.01, -999.99, 999.99, 0.0, 123.45], etype="click")
+    add(1005, 64, vals=[1.0], etype="error")       # constant series
+    add(1006, 64, vals=[0.0], etype="purchase")    # all-zero series
+    add(1007, 40, null_ts_every=5, etype="signup")  # many gap-fills
+    add(1008, 33, etype="view", step_s=4000)        # multi-bucket spread
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{d}/events.parquet", index=False)
+    print(f"{len(pdf)} adversarial events → {d}")
+
+
+if __name__ == "__main__":
+    main()

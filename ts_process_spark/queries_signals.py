@@ -703,8 +703,10 @@ def _rotd50_replay_sql(
 
     return f"""
 WITH RECURSIVE base AS (
-    SELECT event_type AS station, event_id % 2 AS comp,
-           row_number() OVER (PARTITION BY event_type, event_id % 2
+    -- ((x % 2) + 2) % 2: C-semantics remainder is negative for negative
+    -- event_ids; normalize so parity matches Spark's (event_id % 2 == 0)
+    SELECT event_type AS station, ((event_id % 2) + 2) % 2 AS comp,
+           row_number() OVER (PARTITION BY event_type, ((event_id % 2) + 2) % 2
                               ORDER BY ts NULLS FIRST, event_id) - 1 AS i,
            value AS x
     FROM events

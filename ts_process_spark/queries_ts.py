@@ -206,7 +206,7 @@ def q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(filled, R).alias("value_filled"),
+        (F.round(filled, R) + F.lit(0.0)).alias("value_filled"),  # +0.0: round() keeps -0.0 in DuckDB but not Spark
         F.col("v").isNull().alias("was_gap"),
     )
 
@@ -235,7 +235,7 @@ SELECT event_id, user_id,
     round(CASE WHEN v IS NOT NULL THEN v
                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
                    THEN prev_v + (next_v - prev_v) * (rn - prev_rn) / (next_rn - prev_rn)
-               ELSE coalesce(prev_v, next_v) END, {R}) AS value_filled,
+               ELSE coalesce(prev_v, next_v) END, {R}) + 0.0 AS value_filled,
     (v IS NULL) AS was_gap
 FROM marked
 """
@@ -945,8 +945,8 @@ def q_taper_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(wt, R).alias("w_tukey"),
-        F.round(F.col("value") * wt, R).alias("tapered"),
+        (F.round(wt, R) + F.lit(0.0)).alias("w_tukey"),
+        (F.round(F.col("value") * wt, R) + F.lit(0.0)).alias("tapered"),
     )
 
 
@@ -965,9 +965,9 @@ WITH t AS (
 )
 SELECT event_id, user_id,
     round(CASE WHEN j < edge THEN 0.5 * (1 + cos(pi() * (j / edge - 1)))
-               ELSE 1.0 END, {R}) AS w_tukey,
+               ELSE 1.0 END, {R}) + 0.0 AS w_tukey,
     round(value * CASE WHEN j < edge THEN 0.5 * (1 + cos(pi() * (j / edge - 1)))
-                       ELSE 1.0 END, {R}) AS tapered
+                       ELSE 1.0 END, {R}) + 0.0 AS tapered
 FROM x
 """
 
@@ -1005,10 +1005,10 @@ def q_rotmax_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(val)).alias("peak")
     )
     return peaks.groupBy("user_id").agg(
-        F.round(
+        (F.round(
             F.element_at(F.array_sort(F.collect_list("peak")), 18), 4
-        ).alias("rotd50_peak"),
-        F.round(F.max("peak"), 4).alias("rotd100_peak"),
+        ) + F.lit(0.0)).alias("rotd50_peak"),
+        (F.round(F.max("peak"), 4) + F.lit(0.0)).alias("rotd100_peak"),
     )
 
 
@@ -1030,8 +1030,8 @@ WITH grid AS (
     FROM ang GROUP BY user_id, deg
 )
 SELECT user_id,
-       round((array_agg(peak ORDER BY peak))[18], 4) AS rotd50_peak,
-       round(max(peak), 4) AS rotd100_peak
+       round((array_agg(peak ORDER BY peak))[18], 4) + 0.0 AS rotd50_peak,
+       round(max(peak), 4) + 0.0 AS rotd100_peak
 FROM peaks GROUP BY user_id
 """
 
@@ -1120,7 +1120,10 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
-        F.col("props").alias("text"),
+        # NULL props → '' (the entry() contract): a null text must cost
+        # length 0, not a null that the two engines' string_agg/concat_ws
+        # skip differently (and that the blob encoder cannot carry)
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
         F.lit(None).cast("string").alias("tool"),
         F.when(F.col("event_id") % 37 != 0, F.col("ts")).alias("ts"),
     )
@@ -1178,8 +1181,8 @@ WITH raw AS (
     SELECT CAST(user_id AS VARCHAR) AS conv_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) - 1
                AS turn_idx,
-           length(props) AS text_len,
-           md5(props) AS th,
+           length(coalesce(props, '')) AS text_len,
+           md5(coalesce(props, '')) AS th,
            CASE WHEN event_id % 37 <> 0 THEN epoch_us(ts) END AS us
     FROM events
 ), marked AS (
