@@ -102,3 +102,55 @@ def test_chunked_container_roundtrip():
     expect = np.concatenate([np.concatenate(ts_parts), ts_parts[2],
                              np.concatenate(ts_parts)])
     assert np.array_equal(decode_dod(nested), expect)
+
+
+def test_bmp_roundtrip_property():
+    """Property: decode(encode(img)) == img for arbitrary shapes —
+    especially widths whose 3-byte rows need 1–3 pad bytes."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from ts_process_spark.operators import multimodal
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+        flip=st.booleans(),
+    )
+    def prop(h, w, seed, flip):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        buf = multimodal.encode_bmp(img)
+        assert np.array_equal(multimodal.decode_bmp(buf), img)
+        if flip:  # top-down rows: negative height in the info header
+            import struct
+
+            neg = buf[:22] + struct.pack("<i", -h) + buf[26:]
+            assert np.array_equal(multimodal.decode_bmp(neg), img[::-1])
+
+    prop()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from ts_process_spark.operators import multimodal
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 400),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(n, rate, seed):
+        pcm = np.random.default_rng(seed).integers(
+            -32768, 32768, size=n, dtype=np.int16
+        )
+        r, got = multimodal.decode_wav(multimodal.encode_wav(pcm, rate))
+        assert r == rate and np.array_equal(got, pcm)
+
+    prop()
