@@ -28,11 +28,6 @@ from pyspark.sql import functions as F
 
 from ts_process_spark import datagen
 from ts_process_spark.operators import analytics
-from ts_process_spark.operators.rollup import full_cascade
-
-
-def _n_convs(sf_dir: str) -> int:
-    return 60 if sf_dir.rstrip("/").endswith("0.1") else 20
 
 
 def q_signal_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,24 +778,6 @@ SELECT fin.station, fin.period,
        fam.famp15 + (0.0)::DOUBLE AS famp15
 FROM fin JOIN fam USING (station)
 """
-
-
-def q_transcript_cascade_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The engine's flagship: gap-filled raw→1m tier with Gorilla/DoD
-    blobs on deterministic transcripts (exactness vs the pandas oracle
-    is tests/test_rollup.py)."""
-    raw = datagen.transcripts(spark, n_convs=_n_convs(sf_dir), seed=42)
-    return full_cascade(raw)["1m"]
-
-
-def q_transcript_cascade_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = datagen.transcripts(spark, n_convs=_n_convs(sf_dir), seed=42)
-    return full_cascade(raw)["1d"].select(
-        "conv_id", "bucket_ts", "n_turns", "n_gapfilled", "sum_text_len",
-        "peak_text_len", "text_hash",
-        F.length("ts_blob").alias("ts_blob_bytes"),
-        F.length("val_blob").alias("val_blob_bytes"),
-    )
 
 
 def queries_signals() -> dict[str, object]:
