@@ -161,3 +161,16 @@ def test_asof_join_is_union_stream(spark):
     plan = _plan(E.queries()["asof_join"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
+def test_signal_queries_prune_events_scan(spark):
+    """The event-derived signal kernels must push column pruning to the
+    events parquet scan — props (the widest column) never read."""
+    import __spark_entry__ as E
+
+    for name in ("signal_baseline_correct", "signal_process_dt",
+                 "signal_synchronize", "signal_rotd50_grid63"):
+        plan = _plan(E.queries()[name](spark, SF_DIR))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert "props" not in cols, (name, cols)

@@ -103,3 +103,44 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     batch_rows = sorted(map(tuple, batch.collect()))
     assert len(batch_rows) > 5  # fixture actually exercises sealing
     assert got_rows == batch_rows
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup keeps one row per (conv, text-digest)
+    within the watermark horizon and never emits a duplicate, matching
+    batch dropDuplicates on the same keys."""
+    import pandas as pd
+    import uuid
+
+    from ts_process_spark.datagen import TRANSCRIPT_SCHEMA
+    from ts_process_spark.streaming.ingest import stream_exact_dedup, stream_raw
+
+    path = str(tmp_path / "raw_d")
+    raw = transcripts(spark, n_convs=6, seed=7, median_turns=12)
+    # force real duplicates: union the table with itself.  ONE file →
+    # one microbatch → watermark 0 while it processes, so no conv can be
+    # dropped as late and the equality below is deterministic (the
+    # multi-batch late-drop behavior is the rollup test's subject).
+    raw.unionByName(raw).coalesce(1).write.mode("overwrite").parquet(path)
+
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_exact_dedup(stream_raw(spark, path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(f"SELECT conv_id, digest, count(*) c FROM {name} "
+                    "GROUP BY 1, 2 HAVING count(*) > 1")
+    assert got.count() == 0  # no key emitted twice
+    static = spark.read.parquet(path).where(F.col("ts").isNotNull())
+    n_keys = (
+        static.select("conv_id", F.xxhash64("text").alias("digest"))
+        .distinct()
+        .count()
+    )
+    n_got = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+    assert n_got == n_keys  # every distinct key survives exactly once

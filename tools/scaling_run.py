@@ -85,7 +85,13 @@ def rotd50_worker(cores: int, n_stations: int) -> None:
         df.write.mode("overwrite").parquet(f"{tmp}/sig")  # datagen untimed
         sigs = spark.read.parquet(f"{tmp}/sig")
         t0 = time.time()
-        out = rotd50_stations(sigs, periods=[0.1, 0.2, 0.5, 1.0, 2.0])
+        # the reference's REAL workload: the full 63-period grid
+        # (rotd50.f:36-45) — 12× the per-station compute of the round-2
+        # 5-period slice, so the leg is genuinely compute-bound rather
+        # than dominated by the one-off station shuffle
+        from ts_process_spark.functions.dsp import ROTD50_PERIODS_FULL
+
+        out = rotd50_stations(sigs, periods=list(ROTD50_PERIODS_FULL))
         # xor-fold hash over rounded outputs: proves byte-equality of the
         # DSP results across parallelism levels AND across the scan
         # rewrite (recorded in history.jsonl per run)
@@ -315,8 +321,9 @@ heavy-tailed lengths incl. hot-conversation skew):
 
 ## Workload 2 — RotD50 response spectra (compute-bound engine kernel)
 
-The reference's hottest operator (rotd50.f:185-226; periods × 90
-rotation angles × oscillator recurrence) over {n_stations} stations:
+The reference's hottest operator (rotd50.f:185-226) at its REAL grid:
+all 63 periods (rotd50.f:36-45) × 90 rotation angles × oscillator
+recurrence over {n_stations} stations:
 
 | parallelism | wall (s) | stations/sec |
 |---|---|---|

@@ -199,3 +199,21 @@ def run_sessionize_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_exact_dedup(
+    raw: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup for a training-data ingest: drop turns whose
+    (conv_id, text-digest) was already seen, with state bounded by the
+    watermark via ``dropDuplicatesWithinWatermark`` — the streaming twin
+    of operators/dedup.exact_dedup.  The digest is computed map-side
+    (xxhash64 of the text), so no raw text is held in state; at 100 TB
+    the state store carries one small row per distinct key per
+    watermark window, not per event."""
+    return (
+        raw.where(F.col("ts").isNotNull())
+        .withColumn("digest", F.xxhash64("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "digest"])
+    )
