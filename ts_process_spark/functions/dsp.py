@@ -321,11 +321,16 @@ def butter_sos(N: int, Wn, btype: str = "lowpass") -> np.ndarray:
     return zpk2sos(z, p, k)
 
 
-def cheby1_sos(N: int, rp: float, Wn, btype: str = "lowpass") -> np.ndarray:
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def cheby1_sos(N: int, rp: float, Wn: float, btype: str = "lowpass") -> np.ndarray:
     """Chebyshev-I digital design (closed-form poles) — the anti-alias
     filter family scipy's decimate() uses (order 8, rp=0.05, cutoff
     0.8/q), which is the reference's downsample fast path
-    (ts_library.py:919-925)."""
+    (ts_library.py:919-925).  lru_cached like design_sos — the decimate
+    kernel calls it once per series per column."""
     if btype != "lowpass":
         raise NotImplementedError("cheby1 used only for the decimate lowpass")
     eps = np.sqrt(10 ** (0.1 * rp) - 1.0)
@@ -345,27 +350,40 @@ def cheby1_sos(N: int, rp: float, Wn, btype: str = "lowpass") -> np.ndarray:
     p_d = (fs2 + p) / (fs2 - p)
     z_d = -np.ones(N)
     k_d = k * np.real(1.0 / np.prod(fs2 - p))
-    return zpk2sos(z_d, p_d, k_d)
+    sos = zpk2sos(z_d, p_d, k_d)
+    sos.flags.writeable = False  # shared cached instance
+    return sos
 
 
 def sosfilt_seq(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
     """Cascaded biquads, direct form II transposed — the literal
-    per-sample loop, kept as the equivalence oracle for the vectorized
-    `sosfilt` (tests/test_dsp.py::test_sosfilt_scan_matches_sequential)."""
-    x = np.asarray(x, dtype=np.float64)
+    per-sample loop: the equivalence oracle for the vectorized `sosfilt`
+    (tests/test_dsp.py::test_sosfilt_scan_matches_sequential) AND the
+    production path for short series (sosfilt dispatch).
+
+    Coefficients and state are hoisted to plain Python floats ONCE —
+    the per-sample numpy-row unpacking of the naive form dominated the
+    many-small-groups regime (~5× slower); float arithmetic is the same
+    IEEE double either way, so results are bit-identical."""
+    x_arr = np.asarray(x, dtype=np.float64)
     n_sections = sos.shape[0]
-    z = np.zeros((n_sections, 2)) if zi is None else zi.copy()
-    y = np.empty_like(x)
-    for n in range(len(x)):
-        xn = x[n]
-        for s in range(n_sections):
-            b0, b1, b2, a0, a1, a2 = sos[s]
+    secs = [tuple(float(v) for v in sos[s]) for s in range(n_sections)]
+    zs = [
+        [0.0, 0.0] if zi is None else [float(zi[s, 0]), float(zi[s, 1])]
+        for s in range(n_sections)
+    ]
+    y = np.empty_like(x_arr)
+    xs = x_arr.tolist()
+    for n, xn in enumerate(xs):
+        for s, (b0, b1, b2, _a0, a1, a2) in enumerate(secs):
+            z = zs[s]
             w = xn
-            xn = b0 * w + z[s, 0]
-            z[s, 0] = b1 * w - a1 * xn + z[s, 1]
-            z[s, 1] = b2 * w - a2 * xn
+            xn = b0 * w + z[0]
+            z[0] = b1 * w - a1 * xn + z[1]
+            z[1] = b2 * w - a2 * xn
         y[n] = xn
-    return y, z
+    zf = np.array(zs, dtype=np.float64)
+    return y, zf
 
 
 def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
@@ -408,9 +426,17 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
     return x, zf
 
 
+_ZI_CACHE: dict[bytes, np.ndarray] = {}
+
+
 def _sos_zi(sos: np.ndarray) -> np.ndarray:
     """Steady-state step response state per section (lfilter_zi
-    equivalent), for transient-free filtfilt."""
+    equivalent), for transient-free filtfilt.  Memoized on the sos bytes
+    — recomputed per tiny group otherwise (same regime as design_sos)."""
+    key = sos.tobytes()
+    hit = _ZI_CACHE.get(key)
+    if hit is not None:
+        return hit
     n_sections = sos.shape[0]
     zi = np.zeros((n_sections, 2))
     scale = 1.0
@@ -422,6 +448,8 @@ def _sos_zi(sos: np.ndarray) -> np.ndarray:
         B = np.array([b[1] - a[1] * b[0], b[2] - a[2] * b[0]])
         zi[s] = np.linalg.solve(np.eye(2) - A, B) * scale
         scale *= np.sum(b) / np.sum(a)
+    zi.flags.writeable = False  # shared cached instance (callers scale a copy)
+    _ZI_CACHE[key] = zi
     return zi
 
 
@@ -655,6 +683,10 @@ def sos_freq_response(sos: np.ndarray, w: np.ndarray) -> np.ndarray:
     return np.abs(h)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=128)
 def design_sos(
     dt: float,
     btype: str,
@@ -667,7 +699,12 @@ def design_sos(
 ) -> np.ndarray:
     """The design half of filter_data: Nyquist normalization + family
     dispatch → SOS coefficients.  Split out so the DuckDB value-oracle
-    builders can embed the EXACT runtime coefficients as SQL literals."""
+    builders can embed the EXACT runtime coefficients as SQL literals.
+
+    lru_cached (readonly result): grouped Arrow kernels call this once
+    per SERIES per column, and at millions of tiny groups the repeated
+    poly/root design work dominated the kernel itself.  Callers never
+    mutate the sos array (writeable=False enforces it)."""
     nyq = (1.0 / dt) / 2.0
     if btype == "bandpass":
         Wn = [fmin / nyq, fmax / nyq]
@@ -678,10 +715,13 @@ def design_sos(
     else:
         raise ValueError(btype)
     if family == "butter":
-        return butter_sos(N, Wn, btype)
-    if family == "ellip":
-        return ellip_sos(N, rp, rs, Wn, btype)
-    raise ValueError(f"unknown filter family {family!r}")
+        sos = butter_sos(N, Wn, btype)
+    elif family == "ellip":
+        sos = ellip_sos(N, rp, rs, Wn, btype)
+    else:
+        raise ValueError(f"unknown filter family {family!r}")
+    sos.flags.writeable = False  # shared cached instance
+    return sos
 
 
 def filter_data(
