@@ -33,6 +33,19 @@ from ts_process_spark.functions import dsp
 _SIG_COLS = ("acc", "vel", "dis")
 
 
+def _grouped_exchange(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit hash repartition on the group key(s) ahead of a grouped
+    Arrow kernel.  AQE's byte-size coalescing cannot see per-row Python
+    cost, so on byte-small inputs it serializes the compute-bound stage
+    onto one task (measured: 1 partition for 1,500 series); a
+    user-specified repartition is never coalesced AND satisfies the
+    groupBy's clustering requirement, so exactly ONE exchange runs at
+    the operator's documented width (spark.sql.shuffle.partitions —
+    cluster-sized at submit time)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _per_series(df: DataFrame, fn, schema=None) -> DataFrame:
     """groupBy(series_id).applyInPandas with rows pre-sorted by i."""
     schema = schema or df.schema
@@ -40,7 +53,11 @@ def _per_series(df: DataFrame, fn, schema=None) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf.sort_values("i").reset_index(drop=True))
 
-    return df.groupBy("series_id").applyInPandas(run, schema=schema)
+    return (
+        _grouped_exchange(df, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(run, schema=schema)
+    )
 
 
 def filter_signals(
@@ -102,19 +119,32 @@ def filter_signals(
     if chunk_overlap is None:
         chunk_overlap = 8192
 
+    # ONE explicit grouped exchange up front: the size-split window, the
+    # small-branch groupBy, and the big branch all consume the same
+    # hash(series_id) partitioning, so the two union branches share a
+    # reused exchange instead of re-evaluating the upstream twice on an
+    # AQE-collapsed shuffle (measured 4× on small inputs)
+    src = _grouped_exchange(df, "series_id")
     w = Window.partitionBy("series_id")
-    sized = df.withColumn("_n", F.count(F.lit(1)).over(w))
+    sized = src.withColumn("_n", F.count(F.lit(1)).over(w))
     small = sized.where(F.col("_n") <= chunk_threshold).drop("_n")
     big = sized.where(F.col("_n") > chunk_threshold).drop("_n")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf.sort_values("i").reset_index(drop=True))
 
     def fn_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf.reset_index(drop=True))
 
-    return _per_series(small, fn).unionByName(
-        chunked_apply(
-            big, key="series_id", order_col="i", fn=fn_sorted,
-            chunk_size=chunk_size, overlap=chunk_overlap,
-            schema=df.schema,
+    return (
+        small.groupBy("series_id")
+        .applyInPandas(run, schema=df.schema)
+        .unionByName(
+            chunked_apply(
+                big, key="series_id", order_col="i", fn=fn_sorted,
+                chunk_size=chunk_size, overlap=chunk_overlap,
+                schema=df.schema,
+            )
         )
     )
 
@@ -432,7 +462,11 @@ def rotate_station(df: DataFrame, angle: float) -> DataFrame:
         h2["orientation_deg"] = (o2 - angle) % 360.0
         return pd.concat([h1, h2, vert], ignore_index=True).drop(columns=["station"])
 
-    return src.groupBy("station").applyInPandas(fn, schema=schema)
+    return (
+        _grouped_exchange(src, "station")
+        .groupBy("station")
+        .applyInPandas(fn, schema=schema)
+    )
 
 
 FAS_SCHEMA = T.StructType(
@@ -533,7 +567,11 @@ def response_spectrum(
             {"series_id": pdf["series_id"].iloc[0], "period": ps, "psa": psa}
         )
 
-    return df.groupBy("series_id").applyInPandas(fn, schema=PSA_SCHEMA)
+    return (
+        _grouped_exchange(df, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(fn, schema=PSA_SCHEMA)
+    )
 
 
 ROTD50_SCHEMA = T.StructType(
@@ -585,7 +623,11 @@ def rotd50_stations(
             }
         )
 
-    return src.groupBy("station").applyInPandas(fn, schema=ROTD50_SCHEMA)
+    return (
+        _grouped_exchange(src, "station")
+        .groupBy("station")
+        .applyInPandas(fn, schema=ROTD50_SCHEMA)
+    )
 
 
 def asof_join_grouped(
