@@ -13,10 +13,17 @@ Usage:
     python tools/make_adversarial_events.py [out_dir=/root/testdata_adv]
     python tools/check_oracles.py /root/testdata_adv [query ...]
 
+Also writes an adversarial documents.parquet: non-ASCII (CJK, emoji,
+ZWJ sequences, combining marks), NULL/empty/whitespace-only text,
+vertical-tab whitespace (the Java-\\s vs RE2 trap), exact and
+near duplicates, and heavy repetition.
+
 Round-3 findings it caught: -0.0 surviving DuckDB round() but not
-Spark's in gapfill_linear / taper_tukey / rotmax_scan (fixed with +0.0
-canonicalization on both engines); every signal fold oracle passed
-bit-exactly.
+Spark's in gapfill_linear / taper_tukey / rotmax_scan (+0.0 fix both
+engines); DuckDB array_to_string([]) = NULL poisoning exact-dedup keys
+and short-doc shingles (coalesce fix); media_from_documents crashing on
+NULL text (engine coalesce); every signal fold oracle passed bit-exactly
+and the multimodal byte oracle holds on non-ASCII payloads.
 """
 
 from __future__ import annotations
@@ -32,7 +39,7 @@ def main() -> None:
     d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_adv"
     os.makedirs(d, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "documents", "embeddings"]:
+              "lineitem", "embeddings"]:
         dst = f"{d}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
@@ -70,7 +77,31 @@ def main() -> None:
     )
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     pdf.to_parquet(f"{d}/events.parquet", index=False)
-    print(f"{len(pdf)} adversarial events → {d}")
+
+    texts = [
+        (0, "the the the the the the", "en"),
+        (1, "日本語のテキスト 漢字 かな カナ 🎌 emoji テスト", "ja"),
+        (2, "café naïve söup — em–dash … ellipsis ü", "de"),
+        (3, "", "en"),
+        (4, None, "en"),
+        (5, "   \t\n  ", "en"),
+        (6, "mixed ASCII und 中文 and русский текст all in one", "und"),
+        (7, "a\x0bb vertical\x0btab separated", "en"),
+        (8, "dup dup candidate exact text here", "en"),
+        (9, "dup dup candidate exact text here", "en"),
+        (10, "the quick brown fox jumps over the lazy dog " * 20, "en"),
+        (11, "the quick brown fox jumps over the lazy dog " * 20 + "tail", "en"),
+        (12, "z̷̢̛a̶͕͝l̸̰̈g̸̱̎o̷͙͑ combining characters ā́̃", "und"),
+        (13, "👨‍👩‍👧‍👦 family emoji zwj sequence 🏳️‍🌈", "und"),
+        (14, "ASCII only but with  double  spaces and trailing ", "en"),
+    ]
+    docs = pd.DataFrame(
+        [(i, t, lg, f"src{i % 3}", len(t) if t is not None else 0)
+         for i, t, lg in texts],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    print(f"{len(pdf)} adversarial events + {len(docs)} docs → {d}")
 
 
 if __name__ == "__main__":

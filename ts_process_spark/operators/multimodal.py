@@ -69,7 +69,10 @@ FEATURE_SCHEMA = T.StructType(
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents fixture: the UTF-8
     bytes of the text stand in for an encoded payload."""
-    payload = F.encode(F.col("text"), "utf-8")
+    # NULL text → empty payload: the media schema's n_bytes is non-null
+    # by contract, and a poisoned document must cost one empty payload,
+    # not a task failure (found by the adversarial documents fixture)
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

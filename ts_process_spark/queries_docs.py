@@ -41,7 +41,7 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_EXACT_DEDUP = f"""
-SELECT md5(array_to_string(list_slice({_WORDS_SQL}, 1, 5), ' ')) AS digest,
+SELECT md5(coalesce(array_to_string(list_slice({_WORDS_SQL}, 1, 5), ' '), '')) AS digest,
        count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents
 GROUP BY 1
@@ -125,7 +125,7 @@ sh0 AS (
     SELECT id, CASE WHEN len(ws) >= 3
         THEN list_transform(generate_series(1, len(ws) - 2),
                             i -> array_to_string(ws[i:i+2], ' '))
-        ELSE [array_to_string(ws, ' ')] END AS shs
+        ELSE [coalesce(array_to_string(ws, ' '), '')] END AS shs
     FROM w
 ),
 e AS (SELECT id, {_h60_sql("sh")} AS h
@@ -592,9 +592,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_FEATURES = """
 WITH t AS (
-    SELECT doc_id, text,
+    SELECT doc_id, coalesce(text, '') AS text,
            (['image', 'audio', 'video'])[doc_id % 3 + 1] AS kind,
-           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+           CAST(octet_length(encode(coalesce(text, ''))) AS INTEGER) AS n_bytes
     FROM documents
 ), b AS (
     -- byte stream from the UTF-8 encoding (hex + '0x' cast), NOT

@@ -1306,6 +1306,11 @@ def q_cascade_blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
         "ts_blob",
         "val_blob",
+    ).repartition(
+        # explicit width for the Python decode stage: AQE's byte-size
+        # coalescing can't see per-row decode cost and serializes it
+        # (measured 3 tasks for 40k blob rows)
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
