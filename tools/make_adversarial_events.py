@@ -22,8 +22,11 @@ Round-3 findings it caught: -0.0 surviving DuckDB round() but not
 Spark's in gapfill_linear / taper_tukey / rotmax_scan (+0.0 fix both
 engines); DuckDB array_to_string([]) = NULL poisoning exact-dedup keys
 and short-doc shingles (coalesce fix); media_from_documents crashing on
-NULL text (engine coalesce); every signal fold oracle passed bit-exactly
-and the multimodal byte oracle holds on non-ASCII payloads.
+NULL text (engine coalesce); zero-norm embeddings crashing every cosine
+op with ANSI DIVIDE_BY_ZERO (cosine_base guard both engines); round()
+on the centroid mean diverging at a representation boundary (integer
+surrogates); every signal fold oracle passed bit-exactly and the
+multimodal byte oracle holds on non-ASCII payloads.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ def main() -> None:
     d = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata_adv"
     os.makedirs(d, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "embeddings"]:
+              "lineitem"]:
         dst = f"{d}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
@@ -101,7 +104,28 @@ def main() -> None:
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
     docs.to_parquet(f"{d}/documents.parquet", index=False)
-    print(f"{len(pdf)} adversarial events + {len(docs)} docs → {d}")
+
+    rng = np.random.default_rng(3)
+    evec = []
+
+    def vec(v):
+        return np.asarray(v, dtype=np.float32).tolist()
+
+    b = rng.normal(size=64)
+    evec.append((0, vec(np.zeros(64)), 0))            # zero vector (no direction)
+    evec.append((1, vec(b), 1))
+    evec.append((2, vec(b), 1))                        # exact duplicate
+    evec.append((3, vec(b + rng.normal(scale=1e-3, size=64)), 1))  # near-dup
+    evec.append((4, vec(-b), 2))                       # antipode (cosine −1)
+    evec.append((5, vec(np.full(64, 1e-30)), 3))       # quantizes to zero norm
+    evec.append((6, vec(np.full(64, 8.0)), 4))         # quantized-domain ceiling
+    for i in range(7, 40):
+        evec.append((i, vec(rng.normal(size=64)), i % 5))
+    pd.DataFrame(
+        evec, columns=["vec_id", "embedding", "label"]
+    ).to_parquet(f"{d}/embeddings.parquet", index=False)
+
+    print(f"{len(pdf)} adversarial events + {len(docs)} docs + {len(evec)} vecs → {d}")
 
 
 if __name__ == "__main__":

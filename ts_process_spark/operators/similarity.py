@@ -55,6 +55,19 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+
+def cosine_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, quantized vector) with ZERO-NORM vectors excluded: a zero
+    embedding has no direction, and under ANSI mode its cosine is a
+    DIVIDE_BY_ZERO that would kill the whole job for one poisoned row
+    (found by the adversarial embeddings fixture).  Every cosine-scored
+    op builds on this; the DuckDB oracles carry the same predicate."""
+    base = df.select(
+        F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
+    )
+    return base.where(dot_long(F.col("q"), F.col("q")) > 0)
+
+
 def cosine_topk(
     df: DataFrame,
     query_ids: list[int] | None = None,
@@ -68,7 +81,7 @@ def cosine_topk(
     per-query window with (score desc, id) tie-break."""
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    base = cosine_base(df, id_col, vec_col)
     if query_ids is not None:
         queries = base.where(F.col("id").isin(query_ids))
     else:
@@ -108,7 +121,7 @@ def ivf_cell_assignments(
     expensive distributed step — has exactly this plan."""
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    base = cosine_base(df, id_col, vec_col)
     cells = base.orderBy("id").limit(n_cells).select(
         F.col("id").alias("cell_id"), F.col("q").alias("cv")
     )
@@ -139,7 +152,7 @@ def ivf_ann_topk(
     from pyspark.sql import Window
 
     assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
-    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    base = cosine_base(df, id_col, vec_col)
     cells = base.orderBy("id").limit(n_cells).select(
         F.col("id").alias("cell_id"), F.col("q").alias("cv")
     )
@@ -223,9 +236,9 @@ def srp_ann_topk(
     from pyspark.sql import Window
 
     planes = rademacher_hyperplanes(n_planes, 64, seed)
-    base = df.select(
-        F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
-    ).withColumn("bucket", srp_bucket(F.col("q"), planes))
+    base = cosine_base(df, id_col, vec_col).withColumn(
+        "bucket", srp_bucket(F.col("q"), planes)
+    )
     a = base.alias("a")
     b = base.alias("b")
     scored = (
@@ -261,8 +274,13 @@ def centroids_by_label(
         F.col(label_col).alias("label"),
         F.posexplode(quantized(F.col(vec_col))).alias("dim", "qv"),
     ).withColumn("dim", F.col("dim").cast("long"))
+    # exact integer surrogates (sum of 1e-6-quantized components, count)
+    # instead of a rounded mean: round() on an arbitrary ratio diverges
+    # at representation boundaries across engines (adversarial fixture
+    # hit one), and the consumer can always divide
     return ex.groupBy("label", "dim").agg(
-        F.round((F.sum("qv") / F.count(F.lit(1))) / 1e6, 6).alias("centroid")
+        F.sum("qv").alias("sum_q_e6"),
+        F.count(F.lit(1)).alias("n_vecs"),
     )
 
 
@@ -290,7 +308,7 @@ def embedding_neardup_pairs(
 
     ``exact=True`` keeps the all-pairs form — the ground-truth oracle
     for those recall tests, deliberately not the default."""
-    base = df.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q"))
+    base = cosine_base(df, id_col, vec_col)
     if exact:
         a, b = base.alias("a"), base.alias("b")
         return (

@@ -372,7 +372,8 @@ def q_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMB_KNN = f"""
-WITH e AS (SELECT vec_id, {_Q_SQL} AS q FROM embeddings),
+WITH e0 AS (SELECT vec_id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
 qs AS (SELECT vec_id AS query_id, q AS qv FROM e ORDER BY vec_id LIMIT 10),
 scored AS (
     SELECT qs.query_id, e.vec_id AS neighbor_id,
@@ -425,7 +426,8 @@ def q_emb_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_emb_srp_ann() -> str:
     return f"""
-WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
 b AS (SELECT id, q, {_srp_bucket_expr()} AS bucket FROM e),
 scored AS (
     SELECT a.id AS query_id, bb.id AS neighbor_id,
@@ -460,7 +462,8 @@ def _cos_sql(a: str, b: str) -> str:
 
 def _sql_emb_ivf_ann() -> str:
     return f"""
-WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
 cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16),
 ass AS (
     SELECT id, q, cell_id FROM (
@@ -503,7 +506,8 @@ WITH e AS (SELECT label, {_Q_SQL} AS q FROM embeddings),
 x AS (SELECT label, unnest(q) AS qv,
              generate_subscripts(q, 1) - 1 AS dim
       FROM e)
-SELECT label, dim, round((sum(qv) / count(*)) / 1e6, 6) AS centroid
+SELECT label, dim, CAST(sum(qv) AS BIGINT) AS sum_q_e6,
+       count(*) AS n_vecs
 FROM x GROUP BY label, dim
 """
 
@@ -548,7 +552,8 @@ def _sql_emb_neardup(
         " * sqrt(list_dot_product(b.q, b.q))), 6)"
     )
     return f"""
-WITH e AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
 bk0 AS (
     {table_selects}
 ),
