@@ -359,3 +359,26 @@ def test_decoded_features_end_to_end(spark):
     assert got[2].decoded_ok and got[2].d_peak == vals.max()
     assert abs(got[2].d_mean - vals.mean()) < 1e-12
     assert not got[3].decoded_ok and got[3].d_mean is None
+
+
+def test_cosine_ops_exclude_zero_norm_vectors(spark):
+    """A zero (or zero-quantizing) embedding has no direction: every
+    cosine-scored op must EXCLUDE it on both the query and corpus side
+    instead of dying on ANSI DIVIDE_BY_ZERO (one poisoned row must never
+    kill a corpus job — found by the adversarial embeddings fixture)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rows = [(0, [0.0] * 64, 0), (1, [float(1e-30)] * 64, 0)]
+    for i in range(2, 12):
+        rows.append((i, [float(x) for x in rng.normal(size=64)], i % 3))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    knn = similarity.cosine_topk(embs, k=3, n_queries=5).collect()
+    ids = {r.query_id for r in knn} | {r.neighbor_id for r in knn}
+    assert 0 not in ids and 1 not in ids  # excluded, not crashed
+    assert len(knn) > 0
+
+    pairs = similarity.embedding_neardup_pairs(embs, 0.2).collect()
+    pids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert 0 not in pids and 1 not in pids
