@@ -55,17 +55,34 @@ def cosine_q(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_qn(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine_q with PRECOMPUTED squared norms: at scale the self-dot is
+    O(pairs·dim) recomputed per candidate pair, vs O(vectors·dim) done
+    once in cosine_base — same doubles bit-for-bit (the norm column is
+    the identical dot_long the inline form evaluated)."""
+    return dot_long(a, b) / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
 
 def cosine_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, quantized vector) with ZERO-NORM vectors excluded: a zero
     embedding has no direction, and under ANSI mode its cosine is a
     DIVIDE_BY_ZERO that would kill the whole job for one poisoned row
     (found by the adversarial embeddings fixture).  Every cosine-scored
-    op builds on this; the DuckDB oracles carry the same predicate."""
-    base = df.select(
+    op builds on this; the DuckDB oracles carry the same predicate.
+
+    Also carries nq = ‖q‖² computed ONCE per vector (cosine_qn) and
+    spreads a too-few-partition scan across the cluster first — a
+    single-file corpus otherwise runs the whole pairwise-scoring stage
+    on one task (dedup._ensure_parallelism, same rationale)."""
+    from ts_process_spark.operators.dedup import _ensure_parallelism
+
+    base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
-    )
-    return base.where(dot_long(F.col("q"), F.col("q")) > 0)
+    ).withColumn("nq", dot_long(F.col("q"), F.col("q")))
+    return base.where(F.col("nq") > 0)
 
 
 def cosine_topk(
@@ -87,12 +104,15 @@ def cosine_topk(
     else:
         queries = base.orderBy("id").limit(n_queries)
     queries = queries.select(
-        F.col("id").alias("query_id"), F.col("q").alias("qv")
+        F.col("id").alias("query_id"), F.col("q").alias("qv"),
+        F.col("nq").alias("nqv"),
     )
     scored = base.join(F.broadcast(queries), F.col("id") != F.col("query_id")).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(cosine_q(F.col("qv"), F.col("q")), 6).alias("cosine"),
+        F.round(
+            cosine_qn(F.col("qv"), F.col("q"), F.col("nqv"), F.col("nq")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -123,16 +143,20 @@ def ivf_cell_assignments(
 
     base = cosine_base(df, id_col, vec_col)
     cells = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("q").alias("cv")
+        F.col("id").alias("cell_id"), F.col("q").alias("cv"),
+        F.col("nq").alias("ncv"),
     )
     scored = base.join(F.broadcast(cells)).select(
-        "id", "q", "cell_id", F.round(cosine_q(F.col("q"), F.col("cv")), 6).alias("cc")
+        "id", "q", "nq", "cell_id",
+        F.round(
+            cosine_qn(F.col("q"), F.col("cv"), F.col("nq"), F.col("ncv")), 6
+        ).alias("cc"),
     )
     w = Window.partitionBy("id").orderBy(F.col("cc").desc(), F.col("cell_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("id", "q", "cell_id")
+        .select("id", "q", "nq", "cell_id")
     )
 
 
@@ -154,10 +178,12 @@ def ivf_ann_topk(
     assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
     base = cosine_base(df, id_col, vec_col)
     cells = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("q").alias("cv")
+        F.col("id").alias("cell_id"), F.col("q").alias("cv"),
+        F.col("nq").alias("ncv"),
     )
     queries = base.orderBy("id").limit(n_queries).select(
-        F.col("id").alias("query_id"), F.col("q").alias("qv")
+        F.col("id").alias("query_id"), F.col("q").alias("qv"),
+        F.col("nq").alias("nqv"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("qc").desc(), F.col("cell_id")
@@ -165,19 +191,24 @@ def ivf_ann_topk(
     probes = (
         queries.join(F.broadcast(cells))
         .select(
-            "query_id", "qv", "cell_id",
-            F.round(cosine_q(F.col("qv"), F.col("cv")), 6).alias("qc"),
+            "query_id", "qv", "nqv", "cell_id",
+            F.round(
+                cosine_qn(F.col("qv"), F.col("cv"), F.col("nqv"), F.col("ncv")),
+                6,
+            ).alias("qc"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "qv", "nqv", "cell_id")
     )
     scored = probes.join(assigned, "cell_id").where(
         F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.round(cosine_q(F.col("qv"), F.col("q")), 6).alias("cosine"),
+        F.round(
+            cosine_qn(F.col("qv"), F.col("q"), F.col("nqv"), F.col("nq")), 6
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -250,7 +281,10 @@ def srp_ann_topk(
         .select(
             F.col("a.id").alias("query_id"),
             F.col("b.id").alias("neighbor_id"),
-            F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+            F.round(
+                cosine_qn(F.col("a.q"), F.col("b.q"),
+                          F.col("a.nq"), F.col("b.nq")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -316,7 +350,10 @@ def embedding_neardup_pairs(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.round(cosine_q(F.col("a.q"), F.col("b.q")), 6).alias("cosine"),
+                F.round(
+                    cosine_qn(F.col("a.q"), F.col("b.q"),
+                              F.col("a.nq"), F.col("b.nq")), 6
+                ).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
         )
@@ -340,15 +377,20 @@ def embedding_neardup_pairs(
         ).alias("tb"),
     ).select("id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     cand = _bucket_pairs(bucketed, ["tbl", "bucket"])
-    va = base.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    va = base.select(F.col("id").alias("id_a"), F.col("q").alias("qa"),
+                     F.col("nq").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("q").alias("qb"),
+                     F.col("nq").alias("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_q(F.col("qa"), F.col("qb")), 6).alias("cosine"),
+            F.round(
+                cosine_qn(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
