@@ -74,6 +74,11 @@ def main() -> None:
     add(1006, 64, vals=[0.0], etype="purchase")    # all-zero series
     add(1007, 40, null_ts_every=5, etype="signup")  # many gap-fills
     add(1008, 33, etype="view", step_s=4000)        # multi-bucket spread
+    # users that EXIST in the symlinked orders/customer tables, so the
+    # join-shaped queries (asof_join, user_nation_rollup) exercise the
+    # hostile ts patterns too instead of matching nothing
+    add(7, 24, dup_ts=True, etype="click")
+    add(13, 16, null_ts_every=7, etype="purchase")
 
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
