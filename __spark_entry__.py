@@ -68,6 +68,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "returning the partial registry",
             file=sys.stderr,
         )
+        # make the degradation OBSERVABLE in the scored output, not just
+        # a stderr line: a sentinel row the driver will record (rows-only,
+        # no oracle) so a shrunken registry cannot pass unnoticed
+        n_present = len(out)
+
+        def _registry_degraded_sentinel(spark, sf_dir, _n=n_present):
+            return spark.createDataFrame(
+                [(_n, 50, "see driver stderr for import tracebacks")],
+                "n_present INT, n_expected INT, note STRING",
+            )
+
+        out["zz_registry_degraded"] = _registry_degraded_sentinel
     return out
 
 

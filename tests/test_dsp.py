@@ -389,3 +389,59 @@ def test_linear_recurrence_property():
         np.testing.assert_allclose(got / scale, out / scale, atol=5e-9)
 
     check()
+
+
+def test_fft_radix2_matches_npfft():
+    """The fixed-op-order iterative FFT (the SQL-replayable engine path)
+    agrees with pocketfft at tolerance across sizes, zero-padding and
+    truncation."""
+    rng = np.random.default_rng(77)
+    for n, pts in [(5, 8), (48, 64), (64, 128), (300, 512), (2048, 4096),
+                   (5000, 4096)]:  # last: truncation branch
+        x = rng.normal(size=n)
+        re, im = dsp.fft_radix2(x, pts)
+        ref = np.fft.fft(x, pts) if n <= pts else np.fft.fft(x[:pts])
+        scale = max(1.0, np.max(np.abs(ref)))
+        np.testing.assert_allclose((re + 1j * im) / scale, ref / scale,
+                                   atol=1e-12)
+
+
+def test_fft_radix2_rejects_non_pow2():
+    with pytest.raises(ValueError):
+        dsp.fft_radix2(np.zeros(10), 96)
+
+
+def test_fas_exact_path_matches_npfft_path():
+    """fas() below the _FFT_EXACT_MAX threshold (radix-2 + explicit
+    sqrt amplitude) equals the np.fft path at tolerance — the exact
+    path changes op order, not semantics."""
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=1500)
+    dt = 0.01
+    pts = dsp.get_points(len(x))  # 2048 <= threshold -> exact path
+    f1, a1 = dsp.fas(x, dt, pts, 0.5, 10.0)
+    afs = np.abs(np.fft.fft(x, pts)) * dt
+    deltaf = (1.0 / dt) / pts
+    inif, endf = int(0.5 / deltaf), int(10.0 / deltaf) + 1
+    a2 = dsp.smooth(afs[inif:endf], 3)
+    np.testing.assert_allclose(a1, a2, atol=1e-12)
+    assert f1[0] == (1.0 / dt) * inif / pts
+
+
+def test_fft_twiddle_recurrence_is_pure_ieee():
+    """Twiddle tables must come from the replayable recurrence, not
+    per-k trig: w_k = w_{k-1}·base bit-exactly."""
+    _, tw = dsp._fft_tables(256)
+    for s, (wr, wi) in enumerate(tw, start=1):
+        br, bi = dsp.fft_stage_base(s)
+        for k in range(1, len(wr)):
+            assert wr[k] == wr[k - 1] * br - wi[k - 1] * bi
+            assert wi[k] == wr[k - 1] * bi + wi[k - 1] * br
+
+
+def test_smooth_seq_dispatch_threshold():
+    """Below 512 samples smooth() IS the literal reference loop (the
+    FAS oracle replays it); above, the geometric scan at tolerance."""
+    rng = np.random.default_rng(3)
+    short = rng.normal(size=390)
+    assert np.array_equal(dsp.smooth(short, 3), dsp.smooth_seq(short, 3))

@@ -152,6 +152,11 @@ def smooth(data: np.ndarray, factor: int = 3) -> np.ndarray:
     n = x.size
     if n < 3:
         return x.copy()
+    if n < 512:
+        # literal reference loop below the seq threshold (the same
+        # short-fixture rule as sosfilt/oscillator): a fixed IEEE op
+        # chain the DuckDB FAS oracle replays exactly
+        return smooth_seq(x, factor)
     c = 0.5 / (factor - 1)
     # interior recurrence y_i = c·y_{i-1} + (0.5·x_i + c·x_{i+1}); the
     # y_0 = x_0 seed folds into the first forcing term exactly
@@ -427,6 +432,9 @@ def sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None):
 
 
 _ZI_CACHE: dict[bytes, np.ndarray] = {}
+_ZI_CACHE_MAX = 256  # bounded like the design_sos lru_caches: callers
+# bypassing the cached designers with many ad-hoc SOS arrays must not
+# grow a worker-lifetime dict without limit
 
 
 def _sos_zi(sos: np.ndarray) -> np.ndarray:
@@ -437,6 +445,10 @@ def _sos_zi(sos: np.ndarray) -> np.ndarray:
     hit = _ZI_CACHE.get(key)
     if hit is not None:
         return hit
+    if len(_ZI_CACHE) >= _ZI_CACHE_MAX:
+        # FIFO eviction (insertion-ordered dict): the working set is a
+        # handful of filter designs; anything past the bound is churn
+        _ZI_CACHE.pop(next(iter(_ZI_CACHE)))
     n_sections = sos.shape[0]
     zi = np.zeros((n_sections, 2))
     scale = 1.0
@@ -951,12 +963,97 @@ def rotate_pair(
 
 # ------------------------------------------------------------------ FAS
 
+# Below this FFT length the engine takes the fixed-op-order iterative
+# radix-2 path (bit-replayable in SQL, same rule as the sosfilt /
+# oscillator / smooth seq thresholds); above it np.fft (C pocketfft,
+# fastest, pytest-pinned ≈ the iterative path at tolerance).
+_FFT_EXACT_MAX = 4096
+
+
+def fft_stage_base(s: int) -> tuple[float, float]:
+    """Base twiddle of butterfly stage s (block size 2^s): the single
+    transcendental pair (cos θ, sin θ), θ = -2π/2^s, from which the
+    whole stage-s twiddle table is generated by pure IEEE multiplies.
+    Exported so the DuckDB oracle can embed the SAME doubles as
+    mantissa·2^exp literals and replay the recurrence."""
+    import math
+
+    th = -2.0 * math.pi / (1 << s)
+    return math.cos(th), math.sin(th)
+
+
+@_functools.lru_cache(maxsize=16)
+def _fft_tables(points: int):
+    """Bit-reversal permutation + per-stage twiddle tables for the
+    fixed-op-order FFT.  Twiddles come from the Python-float recurrence
+    w_0 = 1, w_k = w_{k-1}·base_s — each component one rounded IEEE
+    multiply/add (no FMA, no per-k libm), so a SQL replay of the same
+    recurrence reproduces the identical bits."""
+    stages = points.bit_length() - 1
+    rev = np.zeros(points, dtype=np.int64)
+    for i in range(points):
+        r, x = 0, i
+        for _ in range(stages):
+            r = (r << 1) | (x & 1)
+            x >>= 1
+        rev[i] = r
+    tw = []
+    for s in range(1, stages + 1):
+        half = 1 << (s - 1)
+        br, bi = fft_stage_base(s)
+        wr, wi = [1.0], [0.0]
+        for k in range(1, half):
+            nr = wr[k - 1] * br - wi[k - 1] * bi
+            ni = wr[k - 1] * bi + wi[k - 1] * br
+            wr.append(nr)
+            wi.append(ni)
+        tw.append((np.asarray(wr), np.asarray(wi)))
+    return rev, tw
+
+
+def fft_radix2(x: np.ndarray, points: int) -> tuple[np.ndarray, np.ndarray]:
+    """Iterative decimation-in-time radix-2 complex FFT of the real
+    input x zero-padded/truncated to `points` (a power of two), kept as
+    separate (re, im) float64 arrays so every butterfly is the exact
+    4-multiply/2-add complex product — separate NumPy ufunc calls, each
+    rounding once, never fused — giving ONE fixed IEEE op order that
+    the staged DuckDB CTE fold replays bit-exactly (the np.fft
+    butterflies have no pinned order; these do).  Vectorized per stage:
+    log2(n) array passes, no per-sample Python."""
+    if points & (points - 1):
+        raise ValueError("points must be a power of two")
+    rev, tw = _fft_tables(points)
+    x = np.asarray(x, dtype=np.float64)
+    re = np.zeros(points, dtype=np.float64)
+    re[: min(x.size, points)] = x[:points]
+    re = re[rev]
+    im = np.zeros(points, dtype=np.float64)
+    for s in range(1, points.bit_length()):
+        half = 1 << (s - 1)
+        wr, wi = tw[s - 1]
+        re2 = re.reshape(-1, 2 * half)
+        im2 = im.reshape(-1, 2 * half)
+        er, orr = re2[:, :half], re2[:, half:]
+        ei, oii = im2[:, :half], im2[:, half:]
+        tr = orr * wr - oii * wi
+        ti = orr * wi + oii * wr
+        re = np.concatenate([er + tr, er - tr], axis=1).reshape(-1)
+        im = np.concatenate([ei + ti, ei - ti], axis=1).reshape(-1)
+    return re, im
+
 
 def fas(data: np.ndarray, dt: float, points: int, fmin: float, fmax: float,
         s_factor: int = 3):
     """Fourier amplitude spectrum with frequency slice + smoothing
-    (ts_library.py:411-437)."""
-    afs = np.abs(np.fft.fft(data, points)) * dt
+    (ts_library.py:411-437).  points ≤ _FFT_EXACT_MAX takes the
+    fixed-op-order radix-2 path with the explicit sqrt(re²+im²)
+    amplitude (np.abs on complex is libm hypot — not SQL-replayable);
+    longer transforms use np.fft (pytest-pinned equal at tolerance)."""
+    if points <= _FFT_EXACT_MAX and not (points & (points - 1)):
+        re, im = fft_radix2(np.asarray(data, dtype=np.float64), points)
+        afs = np.sqrt(re * re + im * im) * dt
+    else:
+        afs = np.abs(np.fft.fft(data, points)) * dt
     freq = (1.0 / dt) * np.arange(points) / points
     deltaf = (1.0 / dt) / points
     inif = int(fmin / deltaf)
@@ -1095,6 +1192,12 @@ def rotd50(
         test = min(sa1, sa2) / 1.5
         mask = np.maximum(np.abs(th1), np.abs(th2)) > test
         r1, r2 = th1[mask], th2[mask]
+        if r1.size == 0:
+            # degenerate pair (all-zero histories): every rotation is
+            # zero too — emit zeros instead of np.max-over-empty raising
+            # and killing the whole grouped UDF stage
+            psa1[ip], psa2[ip], rd50[ip] = sa1, sa2, 0.0
+            continue
         angles = np.radians(np.arange(90) * (3.14159 / np.pi))  # Fortran's π
         cosr, sinr = np.cos(angles), np.sin(angles)
         # 90×n rotations in one matmul (the Fortran loop vectorized)

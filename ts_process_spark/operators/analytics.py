@@ -134,6 +134,20 @@ def filter_signals(
         return fn(pdf.sort_values("i").reset_index(drop=True))
 
     def fn_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+        # runtime guard on the chunk path (dt is only known here): the
+        # overlap must cover the pad rule's settled region, else the
+        # documented 1e-9 accuracy pin silently degrades — e.g.
+        # dt=0.001, fmin=0.2 gives pad 15000 > the 8192 default
+        if fmin and btype in ("highpass", "bandpass") and len(pdf):
+            dt = float(pdf["dt"].iloc[0])
+            pad = int(np.round((1.5 * N / fmin) / dt / 2.0))
+            if pad > chunk_overlap:
+                raise ValueError(
+                    f"filter_signals chunk_overlap={chunk_overlap} < pad "
+                    f"rule {pad} at (fmin={fmin}, dt={dt}); pass "
+                    f"chunk_overlap>={pad} (accuracy would silently "
+                    "degrade past the 1e-9 pin)"
+                )
         return fn(pdf.reset_index(drop=True))
 
     return (
@@ -603,6 +617,19 @@ def rotd50_stations(
             pdf["component"].unique(),
             key=lambda c: pdf.loc[pdf["component"] == c, "orientation_deg"].iloc[0],
         )
+        if len(comps) < 2:
+            # single-component station: no horizontal pair to rotate —
+            # drop it (matches the oracle's h1 INNER JOIN h2) rather
+            # than raising inside the grouped UDF
+            return pd.DataFrame(
+                {
+                    "station": pd.Series(dtype=object),
+                    "period": pd.Series(dtype=np.float64),
+                    "psa_h1": pd.Series(dtype=np.float64),
+                    "psa_h2": pd.Series(dtype=np.float64),
+                    "rotd50": pd.Series(dtype=np.float64),
+                }
+            )
         h1 = pdf[pdf["component"] == comps[0]].sort_values("i")
         h2 = pdf[pdf["component"] == comps[1]].sort_values("i")
         dt = float(pdf["dt"].iloc[0])
