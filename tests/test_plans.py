@@ -174,3 +174,27 @@ def test_signal_queries_prune_events_scan(spark):
         m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
         cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert "props" not in cols, (name, cols)
+
+
+def test_dropped_registry_variants(spark):
+    """Queries rotated out of the 50-slot registry keep correctness
+    coverage here: decimate4 (slot freed round 4 for the decoded-media
+    gate query) still matches its DuckDB oracle at sf0.001."""
+    import duckdb
+
+    from ts_process_spark.queries_ts import SQL_DECIMATE4, q_decimate4
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r[0], r[1], float(r[2]))
+        for r in q_decimate4(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], float(r[2]))
+        for r in con.execute(SQL_DECIMATE4).fetchall()
+    )
+    assert got == want

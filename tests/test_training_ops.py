@@ -382,3 +382,43 @@ def test_cosine_ops_exclude_zero_norm_vectors(spark):
     pairs = similarity.embedding_neardup_pairs(embs, 0.2).collect()
     pids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert 0 not in pids and 1 not in pids
+
+
+def test_decoded_stats_and_media_from_series(spark):
+    """media_from_series encodes deterministic integer series through
+    the real codecs and decoded_stats recovers the EXACT integer
+    functionals (the multimodal_decoded_stats gate path), with poisoned
+    payloads costing one decoded_ok=false row."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    # image series: 10 pixels (pads to 8x8 with zeros)
+    for i, v in enumerate([5, 250, 0, 13, 77, 200, 1, 99, 255, 42]):
+        rows.append((2, "image", i, v))
+    # audio series: 6 samples
+    for i, v in enumerate([0, 32767, 100, 7, 9000, 12345]):
+        rows.append((3, "audio", i, v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "i", "s"])
+    )
+    media = multimodal.media_from_series(df, width=8, height=8)
+    got = {r.media_id: r for r in multimodal.decoded_stats(media).collect()}
+    img_vals = [5, 250, 0, 13, 77, 200, 1, 99, 255, 42] + [0] * 54
+    assert got[2].decoded_ok
+    assert got[2].n_vals == 192 and got[2].v_sum == 3 * sum(img_vals)
+    assert got[2].v_sumsq == 3 * sum(v * v for v in img_vals)
+    assert got[2].v_min == 0 and got[2].v_max == 255
+    assert got[2].d_mean == float(3 * sum(img_vals)) / 192
+    aud = [0, 32767, 100, 7, 9000, 12345]
+    assert got[3].decoded_ok
+    assert got[3].n_vals == 6 and got[3].v_sum == sum(aud)
+    assert got[3].v_sumsq == sum(v * v for v in aud)
+    assert (got[3].v_min, got[3].v_max) == (0, 32767)
+    # poisoned payload -> one false row, not a task failure
+    bad = spark.createDataFrame(
+        [(9, "image", bytearray(b"\x89PNG junk"), (None, None, None, 0))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    b = multimodal.decoded_stats(bad).collect()[0]
+    assert not b.decoded_ok and b.d_mean is None

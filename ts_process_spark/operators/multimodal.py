@@ -222,6 +222,108 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def media_from_series(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Build a media table with REAL encoded payloads from per-media
+    integer series: one grouped Arrow pass per media_id encodes the
+    ordered ``s`` values through the native codecs — kind='image' →
+    s as 8-bit gray pixels zero-padded to width×height, 24-bit BMP;
+    kind='audio' → s as PCM16 mono WAV.  The deterministic integer
+    source is what makes the decode path value-checkable end-to-end:
+    encode→decode is lossless, so decoded statistics are exact SQL
+    functions of the s column (queries_docs.q_multimodal_decoded_stats).
+
+    Input columns: media_id long, kind string, i int (order), s long."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i")
+        mid = int(pdf["media_id"].iloc[0])
+        kind = pdf["kind"].iloc[0]
+        s = pdf["s"].to_numpy(dtype=np.int64)
+        if kind == "image":
+            pix = np.zeros(width * height, dtype=np.uint8)
+            m = min(s.size, width * height)
+            pix[:m] = s[:m]
+            payload = encode_bmp(pix.reshape(height, width))
+            meta = {"width": width, "height": height, "sample_rate": None,
+                    "n_bytes": len(payload)}
+        else:
+            payload = encode_wav(s.astype(np.int16), 16000)
+            meta = {"width": None, "height": None, "sample_rate": 16000,
+                    "n_bytes": len(payload)}
+        return pd.DataFrame(
+            {"media_id": [mid], "kind": [kind], "payload": [payload],
+             "meta": [meta]}
+        )
+
+    from ts_process_spark.operators.analytics import _grouped_exchange
+
+    return (
+        _grouped_exchange(df, "media_id")
+        .groupBy("media_id")
+        .applyInPandas(fn, schema=MEDIA_SCHEMA)
+    )
+
+
+DECODED_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("decoded_ok", T.BooleanType(), False),
+        T.StructField("n_vals", T.LongType(), False),
+        T.StructField("v_sum", T.LongType(), False),
+        T.StructField("v_sumsq", T.LongType(), False),
+        T.StructField("v_min", T.LongType(), False),
+        T.StructField("v_max", T.LongType(), False),
+        T.StructField("d_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def decoded_stats(media: DataFrame) -> DataFrame:
+    """Integer-exact functionals of the DECODED point set through the
+    real codecs (the cascade_blob_roundtrip technique applied to media):
+    count/sum/sum-of-squares/min/max over decoded pixel bytes (all 3 RGB
+    channels) or PCM16 samples, plus mean as one IEEE division.  All
+    functionals are exact int64 (≤ 2^53), so a DuckDB oracle over the
+    same deterministic source column value-checks the whole
+    encode→decode→extract path.  Undecodable payloads yield
+    decoded_ok=false rows, never task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    if kind == "image":
+                        vals = decode_image(b).ravel().astype(np.int64)
+                    elif kind == "audio":
+                        _rate, pcm = decode_wav(b)
+                        vals = pcm.astype(np.int64)
+                    else:
+                        raise NotImplementedError(kind)
+                    if vals.size == 0:
+                        raise ValueError("empty decode")
+                    n = int(vals.size)
+                    vs = int(vals.sum())
+                    rows.append(
+                        (mid, kind, True, n, vs, int((vals * vals).sum()),
+                         int(vals.min()), int(vals.max()), float(vs) / n)
+                    )
+                except (NotImplementedError, ValueError, IndexError,
+                        struct.error):
+                    rows.append((mid, kind, False, 0, 0, 0, 0, 0, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "decoded_ok", "n_vals",
+                         "v_sum", "v_sumsq", "v_min", "v_max", "d_mean"],
+            )
+
+    return media.mapInPandas(run, schema=DECODED_STATS_SCHEMA)
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -393,7 +393,13 @@ GROUP BY e.user_id
 
 def q_decimate4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-factor downsample: keep every 4th event per user in time
-    order (the `decimate` fast path, ts_library.py:919-925)."""
+    order (the `decimate` fast path, ts_library.py:919-925).
+
+    NOT registered since round 4: its path is a strict sub-stage of
+    signal_process_dt's resample leg, and the freed slot value-checks
+    the native media decode instead (queries_docs.
+    q_multimodal_decoded_stats).  Stays pytest-pinned via
+    tests/test_plans.py::test_dropped_registry_variants."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -1376,7 +1382,6 @@ def queries_ts() -> dict[str, object]:
         "integrate_trapezoid": q_integrate,
         "median_by_type": q_median_by_type,
         "first_crossing": q_first_crossing,
-        "decimate4": q_decimate4,
         "sessionize": q_sessionize,
         "sync_streams": q_sync_streams,
         "asof_join": q_asof_join,
@@ -1409,7 +1414,6 @@ def oracles_ts() -> dict[str, str]:
         "integrate_trapezoid": SQL_INTEGRATE,
         "median_by_type": SQL_MEDIAN_BY_TYPE,
         "first_crossing": SQL_FIRST_CROSSING,
-        "decimate4": SQL_DECIMATE4,
         "sessionize": SQL_SESSIONIZE,
         "sync_streams": SQL_SYNC_STREAMS,
         "asof_join": SQL_ASOF_JOIN,
