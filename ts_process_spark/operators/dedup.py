@@ -38,13 +38,21 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     """Spread a too-few-partition input across the cluster before a
     compute-heavy stage.  At real scale the scan already has thousands of
     splits and this is a no-op; on small single-file test inputs it stops
-    a 64-hash explode+aggregate from running on one core."""
+    a 64-hash explode+aggregate from running on one core.
+
+    With ``keys``, the spread is HASH partitioning on those columns, so
+    a downstream groupBy(keys) sees its clustering requirement already
+    satisfied and skips its own exchange — on the test shapes this turns
+    the signature pipelines into single-shuffle plans (when the operator
+    no-ops at scale, the groupBy keeps its normal partial-agg exchange)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
 
@@ -129,6 +137,7 @@ def shingles(col: Column, k: int = 3) -> Column:
 
 
 MINHASH_P = 2147483647  # 2^31 − 1: (h%P)·a + b < 2^62 — ANSI-overflow-safe
+MINHASH_MIX_A = 1103515245  # Horner multiplier for md5-mode band keys
 
 
 def minhash_affine_consts(p: int) -> tuple[int, int]:
@@ -155,7 +164,9 @@ def minhash_signatures(
     instead of the full string n_perm times (~5× cheaper per shingle).
     One hash-aggregate with n_perm min() columns, all JVM-side; partial
     aggregation makes the shuffle O(docs × n_perm), never O(shingles)."""
-    src = _ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+    src = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+    )
     hfn = F.xxhash64 if hash_mode == "xxhash64" else hash60
     sh = src.select(
         "id", F.explode(shingles(F.col(text_col), k)).alias("sh")
@@ -167,8 +178,11 @@ def minhash_signatures(
         # 60-bit base hash reduced mod the 31-bit prime P — exact BIGINT
         # arithmetic both engines can run (products < 2^62, so no ANSI
         # overflow), ONE md5 per shingle instead of n_perm md5-string
-        # hashes (which made this the gate's slowest query in round 2)
-        hm = F.col("h") % MINHASH_P
+        # hashes (which made this the gate's slowest query in round 2).
+        # `hm` is materialized as a column so the 64 aggregate exprs
+        # share one modulo instead of re-deriving it each
+        sh = sh.select("id", (F.col("h") % MINHASH_P).alias("h"))
+        hm = F.col("h")
         perm = lambda p: (  # noqa: E731
             hm * minhash_affine_consts(p)[0] + minhash_affine_consts(p)[1]
         ) % MINHASH_P
@@ -177,20 +191,8 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"m{p}" for p in range(n_perm)]).alias("sig"))
 
 
-def _bucket_pairs(
-    keyed: DataFrame, key_cols: list[str], max_bucket: int = 10_000
-) -> DataFrame:
-    """(id_a < id_b) pairs of ``id`` values sharing all ``key_cols`` —
-    groupBy + within-bucket expansion instead of a self-join, so the
-    (possibly expensive) upstream plan is evaluated ONCE, not once per
-    join side.  Buckets larger than ``max_bucket`` are degenerate (a
-    stop-shingle band at web scale) and are dropped — a silent-cap the
-    caller should surface in metrics."""
-    buckets = (
-        keyed.groupBy(*key_cols)
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
-    )
+def _expand_bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """Within-bucket (id_a < id_b) expansion of an ``ids`` array column."""
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -202,32 +204,145 @@ def _bucket_pairs(
             )
         )
     )
-    return (
-        buckets.select(pair.alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
+    return buckets.select(pair.alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
     )
+
+
+def _bucket_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int = 10_000,
+    salt_col: str | None = None,
+) -> DataFrame:
+    """(id_a < id_b) pairs of ``id`` values sharing all ``key_cols`` —
+    groupBy + within-bucket expansion instead of a self-join, so the
+    (possibly expensive) upstream plan is evaluated ONCE, not once per
+    join side.
+
+    Buckets larger than ``max_bucket`` are degenerate (a boilerplate
+    template cluster at web scale).  Without ``salt_col`` they are
+    DROPPED (surfaced by bucket_cap_metrics).  With ``salt_col`` — a
+    secondary-signature column carried on ``keyed`` (e.g. the NEXT LSH
+    band's hash) — they are two-level SPLIT instead: members re-bucket
+    on (key_cols…, salt_col) and pairs come from the sub-buckets, so a
+    hot bucket costs recall only for pairs that ALSO disagree on the
+    secondary signature (true near-dups agree on most bands, so they
+    survive; pytest pins the retained recall).  Sub-buckets still over
+    the cap are dropped with metrics.  The split is pure per-bucket
+    array arithmetic on the one collected aggregate — when no bucket
+    exceeds the cap the over-branch filter matches zero rows and the
+    common case pays only the salt bytes in the shuffle."""
+    if salt_col is None:
+        grouped = keyed.groupBy(*key_cols).agg(
+            F.array_sort(F.collect_set("id")).alias("ids")
+        )
+        return _expand_bucket_pairs(
+            grouped.where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        ).distinct()
+    # ONE aggregation collects (salt, id) structs sorted by (salt, id);
+    # everything below is per-bucket array arithmetic — no second
+    # exchange, no upstream re-evaluation, no join.  Sub-bucketing of an
+    # over-cap bucket is O(n): run boundaries in the sorted struct array
+    # via indexed filter, then zip_with(starts, ends) slices.
+    grouped = keyed.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_set(
+                F.struct(F.col(salt_col).alias("s"), F.col("id").alias("id"))
+            )
+        ).alias("sids")
+    )
+    sids = F.col("sids")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(sids)),
+        lambda i: (i == 1)
+        | ~F.element_at(sids, i)["s"].eqNullSafe(
+            F.element_at(sids, i - 1)["s"]
+        ),
+    )
+    split = F.zip_with(
+        starts,
+        F.concat(F.slice(starts, 2, F.size(starts)), F.array(F.size(sids) + 1)),
+        lambda st, en: F.transform(
+            F.slice(sids, st, en - st), lambda x: x["id"]
+        ),
+    )
+    # one pass, one consumer of the aggregate: under-cap buckets emit
+    # their (re-sorted) id array whole; over-cap buckets emit the salt
+    # runs, still cap-filtered
+    arrays = F.when(
+        F.size(sids) <= max_bucket,
+        F.array(F.array_sort(F.transform(sids, lambda x: x["id"]))),
+    ).otherwise(split)
+    buckets = (
+        grouped.where(F.size(sids) > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    arrays,
+                    lambda a: (F.size(a) > 1) & (F.size(a) <= max_bucket),
+                )
+            ).alias("ids")
+        )
+    )
+    return _expand_bucket_pairs(buckets).distinct()
 
 
 def bucket_cap_metrics(
-    keyed: DataFrame, key_cols: list[str], max_bucket: int = 10_000
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int = 10_000,
+    salt_col: str | None = None,
 ) -> DataFrame:
-    """Surface what `_bucket_pairs`' degenerate-bucket cap drops (the
-    no-silent-caps rule): one row with total buckets, dropped buckets,
-    and dropped candidate-pair count — run alongside a dedup job so the
-    coverage loss is a recorded metric, not an invisible truncation."""
+    """Surface what `_bucket_pairs`' degenerate-bucket policy costs (the
+    no-silent-caps rule) — run alongside a dedup job so the coverage
+    loss is a recorded metric, not an invisible truncation.
+
+    Without ``salt_col`` (drop policy): one row with total buckets,
+    dropped buckets, dropped candidate-pair count.  With ``salt_col``
+    (two-level split policy): over-cap primary buckets are SPLIT, so
+    the reported drops are the sub-buckets still beyond the cap; split
+    primaries are counted separately (pairs straddling sub-buckets are
+    a recall property pinned by tests, not a cap drop)."""
     sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
-    return sizes.agg(
+    if salt_col is None:
+        return sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
+                "n_dropped_buckets"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
+                ).otherwise(0)
+            ).cast("long").alias("n_dropped_pairs"),
+        )
+    prim = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
-            "n_dropped_buckets"
+            "n_split_buckets"
         ),
-        F.sum(
-            F.when(
-                F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
-            ).otherwise(0)
-        ).cast("long").alias("n_dropped_pairs"),
     )
+    over = sizes.where(F.col("n") > max_bucket).select(*key_cols)
+    sub_sizes = (
+        keyed.join(F.broadcast(over), key_cols)
+        .groupBy(*key_cols, salt_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sub = sub_sizes.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)), F.lit(0)
+        ).alias("n_dropped_sub_buckets"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
+                ).otherwise(0)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_dropped_pairs"),
+    )
+    return prim.crossJoin(sub)  # two 1-row aggregates → one metrics row
 
 
 def lsh_candidate_pairs(
@@ -235,15 +350,32 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: int = 4,
     hash_mode: str = "xxhash64",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Band the signature, hash each band, bucket on (band, hash).
-    Returns distinct candidate (id_a < id_b) pairs."""
+    Returns distinct candidate (id_a < id_b) pairs.
+
+    Each band row also carries the NEXT band's hash (``bh2``) as the
+    secondary-signature salt for `_bucket_pairs`' two-level split: a
+    boilerplate bucket beyond ``max_bucket`` re-buckets on (band, bh,
+    bh2) instead of being dropped wholesale, keeping recall for pairs
+    that agree on consecutive bands (true near-dups agree on most)."""
 
     def band_hash(b: int) -> Column:
         vals = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
         if hash_mode == "xxhash64":
             return F.xxhash64(*vals)
-        return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
+        # md5 (oracle) mode: exact Horner mix over the band's minhashes —
+        # pure BIGINT both engines ((P−1)·A < 2^62, ANSI-safe), replacing
+        # a per-band md5-of-concat (round-4: 32 string hashes per doc
+        # were ~20% of the twin's runtime).  A bucket-key collision only
+        # ADDS a candidate pair, which exact-Jaccard verification then
+        # rejects — correctness is unaffected and the oracle mirrors the
+        # same fold (queries_docs._sql_minhash_md5)
+        acc: Column = F.lit(0).cast("long")
+        for v in vals:
+            acc = (acc * MINHASH_MIX_A + v) % MINHASH_P
+        return acc
 
     bands = sigs.select(
         "id",
@@ -251,14 +383,21 @@ def lsh_candidate_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"), band_hash(b).alias("bh")
+                        F.lit(b).alias("band"),
+                        band_hash(b).alias("bh"),
+                        band_hash((b + 1) % n_bands).alias("bh2"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    return _bucket_pairs(bands, ["band", "bh"])
+    ).select(
+        "id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bh").alias("bh"),
+        F.col("bb.bh2").alias("bh2"),
+    )
+    return _bucket_pairs(bands, ["band", "bh"], max_bucket, salt_col="bh2")
 
 
 def minhash_dedup_pairs(
@@ -274,13 +413,28 @@ def minhash_dedup_pairs(
     pairs → exact word-set Jaccard verification ≥ threshold."""
     sigs = minhash_signatures(df, n_perm, k, text_col, id_col, hash_mode)
     cands = lsh_candidate_pairs(sigs, hash_mode=hash_mode)
-    ws = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(tokens(F.col(text_col))).alias("ws"),
+    # Verify stage, candidate-first (round-3 VERDICT ask #2): BROADCAST
+    # the candidate pairs and probe the corpus scan, so tokenization
+    # runs ONLY on docs that appear in a candidate pair and the corpus
+    # token sets are never shuffled or broadcast — at 100 TB the old
+    # ws-table join would have exchanged every document's token set;
+    # this shape is two shuffle-free broadcast probes (candidates are
+    # bounded by the bucket caps, so the broadcast side stays small).
+    j1 = (
+        df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+        .join(F.broadcast(cands), "id_a")
+        .select(
+            "id_a", "id_b",
+            F.array_distinct(tokens(F.col("_ta"))).alias("ws_a"),
+        )
     )
     j = (
-        cands.join(ws.withColumnRenamed("id", "id_a").withColumnRenamed("ws", "ws_a"), "id_a")
-        .join(ws.withColumnRenamed("id", "id_b").withColumnRenamed("ws", "ws_b"), "id_b")
+        df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+        .join(F.broadcast(j1), "id_b")
+        .select(
+            "id_a", "id_b", "ws_a",
+            F.array_distinct(tokens(F.col("_tb"))).alias("ws_b"),
+        )
     )
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("long")
     union = F.size(F.array_distinct(F.concat("ws_a", "ws_b"))).cast("long")
@@ -308,7 +462,7 @@ def simhash64(
     n_bits = 64 if hash_mode == "xxhash64" else 60
     hfn = F.xxhash64 if hash_mode == "xxhash64" else hash60
     ex = _ensure_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select("id", F.explode(tokens(F.col(text_col))).alias("w")).select(
         "id", hfn(F.col("w")).alias("h")
     )
@@ -379,6 +533,14 @@ def simhash_pairs(
     layout = simhash_chunk_layout(n_bits, max_hamming)
     # Carry (id, simhash) as one struct through bucketing so the vote
     # aggregate is evaluated once and no rejoin is needed for distances.
+    def _cv(c: int) -> Column:
+        start, width = layout[c]
+        return F.shiftrightunsigned(F.col("simhash"), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    # cv2 = the NEXT chunk's value: the secondary-signature salt for
+    # _bucket_pairs' two-level split of over-cap buckets
     chunks = sigs.select(
         F.struct("id", "simhash").alias("id"),
         F.explode(
@@ -386,16 +548,20 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), start)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("cv"),
+                        _cv(c).alias("cv"),
+                        _cv((c + 1) % len(layout)).alias("cv2"),
                     )
-                    for c, (start, width) in enumerate(layout)
+                    for c in range(len(layout))
                 ]
             )
         ).alias("cc"),
-    ).select("id", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv"))
-    cand = _bucket_pairs(chunks, ["chunk", "cv"])
+    ).select(
+        "id",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.cv").alias("cv"),
+        F.col("cc.cv2").alias("cv2"),
+    )
+    cand = _bucket_pairs(chunks, ["chunk", "cv"], salt_col="cv2")
     return cand.select(
         F.col("id_a.id").alias("id_a"),
         F.col("id_b.id").alias("id_b"),

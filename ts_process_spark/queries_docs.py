@@ -110,13 +110,19 @@ def _sql_minhash_md5(n_perm: int = 64, n_bands: int = 16, rpb: int = 4) -> str:
     mins = ",\n        ".join(
         f"min({perm_exprs[p]}) AS m{p}" for p in range(n_perm)
     )
+    def _mix(b: int) -> str:
+        # mirror lsh_candidate_pairs' Horner band key: pure BIGINT fold
+        A = dedup.MINHASH_MIX_A
+        acc = "0"
+        for r in range(rpb):
+            acc = f"(({acc} * {A} + m{b * rpb + r}) % {P})"
+        return acc
+
+    # bh2 = next band's key: the secondary-signature salt mirroring
+    # lsh_candidate_pairs' two-level split of over-cap buckets
     band_selects = "\n    UNION ALL ".join(
-        "SELECT id, {b} AS band, md5({cat}) AS bh FROM sig".format(
-            b=b,
-            cat=" || ',' || ".join(
-                f"m{b * rpb + r}::VARCHAR" for r in range(rpb)
-            ),
-        )
+        "SELECT id, {b} AS band, {mix} AS bh, {mix2} AS bh2"
+        " FROM sig".format(b=b, mix=_mix(b), mix2=_mix((b + 1) % n_bands))
         for b in range(n_bands)
     )
     return f"""
@@ -135,15 +141,29 @@ bands0 AS (
     {band_selects}
 ),
 bands AS (
-    -- replicate _bucket_pairs' max_bucket=10000 cap (see bucket_cap_metrics)
+    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands0
+),
+-- _bucket_pairs policy mirror: buckets <= 10000 pair directly; over-cap
+-- buckets two-level SPLIT on the secondary band hash (sub-buckets still
+-- over the cap are dropped)
+small AS (SELECT * FROM bands WHERE bsz <= 10000),
+subb AS (
     SELECT * FROM (
-        SELECT *, count(*) OVER (PARTITION BY band, bh) AS bsz FROM bands0
-    ) WHERE bsz <= 10000
+        SELECT *, count(*) OVER (PARTITION BY band, bh, bh2) AS ssz
+        FROM bands WHERE bsz > 10000
+    ) WHERE ssz <= 10000
 ),
 cand AS (
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+    SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM small a JOIN small b
+          ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+        UNION ALL
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM subb a JOIN subb b
+          ON a.band = b.band AND a.bh = b.bh AND a.bh2 = b.bh2
+         AND a.id < b.id
+    )
 ),
 wsets AS (SELECT doc_id AS id, list_distinct({_WORDS_SQL}) AS ws
           FROM documents)
@@ -177,8 +197,11 @@ def _sql_simhash_md5(n_bits: int = 60, max_hamming: int = 3) -> str:
         f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
         for b in range(n_bits)
     )
+    # cv2 = next chunk's value (the split salt, mirroring simhash_pairs)
     chunk_selects = "\n    UNION ALL ".join(
-        f"SELECT id, simhash, {c} AS chunk, (simhash >> {c * 15}) & 32767 AS cv"
+        f"SELECT id, simhash, {c} AS chunk,"
+        f" (simhash >> {c * 15}) & 32767 AS cv,"
+        f" (simhash >> {((c + 1) % 4) * 15}) & 32767 AS cv2"
         " FROM sim"
         for c in range(4)
     )
@@ -191,16 +214,28 @@ chunks0 AS (
     {chunk_selects}
 ),
 chunks AS (
-    -- replicate _bucket_pairs' max_bucket=10000 cap (see bucket_cap_metrics)
+    SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS bsz FROM chunks0
+),
+-- _bucket_pairs policy mirror: <= cap pairs directly; over-cap chunks
+-- two-level SPLIT on the next chunk's value (still-over sub-buckets drop)
+csmall AS (SELECT * FROM chunks WHERE bsz <= 10000),
+csub AS (
     SELECT * FROM (
-        SELECT *, count(*) OVER (PARTITION BY chunk, cv) AS bsz FROM chunks0
-    ) WHERE bsz <= 10000
+        SELECT *, count(*) OVER (PARTITION BY chunk, cv, cv2) AS ssz
+        FROM chunks WHERE bsz > 10000
+    ) WHERE ssz <= 10000
 ),
 cand AS (
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-           a.simhash AS sa, b.simhash AS sb
-    FROM chunks a JOIN chunks b
-      ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+    SELECT DISTINCT id_a, id_b, sa, sb FROM (
+        SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+        FROM csmall a JOIN csmall b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+        UNION ALL
+        SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+        FROM csub a JOIN csub b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.cv2 = b.cv2
+         AND a.id < b.id
+    )
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}

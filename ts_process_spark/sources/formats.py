@@ -87,6 +87,84 @@ def read_bbp(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     return df.withColumn("i", w), meta
 
 
+def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Directory/glob of BBP files → ONE distributed job, no per-file
+    driver round-trips (round-3 VERDICT ask #6; read_bbp's
+    orderBy.limit(2).collect() dt probe serializes an ingest of 10^5
+    station files).
+
+    Returns (signals, headers):
+    - signals: (file, i, t, dt, h1, h2, ver) — dt derived IN-PASS per
+      file from the two smallest time values (get_dt,
+      file_utilities.py:69-100) via window functions, then joined back
+      by partition-local window broadcast, never through the driver.
+    - headers: (file, units, padding, lp, hp, orientation) parsed from
+      the '#' lines distributively — the same regex surface as
+      read_bbp_headers, as columns instead of a driver dict.
+
+    Scale shape: spark.read.text splits per file (and per block for
+    large files); the only exchange is the per-file window, whose key
+    count = file count."""
+    from pyspark.sql import Window
+
+    lines = spark.read.text(path).select(
+        F.input_file_name().alias("file"), F.col("value")
+    )
+    # ---- header columns (comment lines only)
+    hdr = lines.where(F.col("value").rlike(r"^[#%]")).select(
+        "file", F.lower(F.col("value")).alias("v")
+    )
+    first_num = lambda key: F.max(  # noqa: E731
+        F.regexp_extract(F.col("v"), rf"{key}\s*=\s*([^\s,]+)", 1)
+    )
+    headers = hdr.groupBy("file").agg(
+        F.max(
+            F.regexp_extract(F.col("v"), r"units\s*=\s*([^\s,]+)", 1)
+        ).alias("units"),
+        first_num("padding").cast("int").alias("padding"),
+        first_num("lp").cast("double").alias("lp"),
+        first_num("hp").cast("double").alias("hp"),
+        F.max(F.regexp_extract(F.col("v"), r"orientation\s*=\s*(.+)", 1)).alias(
+            "orientation"
+        ),
+    )
+    # ---- data rows (read_file_bbp2 comment semantics, per file)
+    clean = lines.select(
+        "file", F.trim(F.split(F.col("value"), "[#%]").getItem(0)).alias("v")
+    ).where(F.col("v") != "")
+    parts = F.split(F.col("v"), r"\s+")
+    df = clean.select(
+        "file",
+        parts.getItem(0).cast("double").alias("t"),
+        parts.getItem(1).cast("double").alias("h1"),
+        parts.getItem(2).cast("double").alias("h2"),
+        parts.getItem(3).cast("double").alias("ver"),
+    ).where(F.col("t").isNotNull())
+    wo = Window.partitionBy("file").orderBy("t")
+    wf = Window.partitionBy("file")
+    df = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_t2", F.lead("t").over(wo))
+        .withColumn(
+            "dt",
+            F.max(
+                F.when(
+                    F.col("_rn") == 1, F.round(F.col("_t2") - F.col("t"), 9)
+                )
+            ).over(wf),
+        )
+        .withColumn(
+            "i",
+            F.when(
+                F.col("dt").isNotNull(),
+                F.round(F.col("t") / F.col("dt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_rn", "_t2")
+    )
+    return df, headers
+
+
 def read_hercules(spark: SparkSession, path: str) -> DataFrame:
     """Hercules 10-column (time, dis×3, vel×3, acc×3), hardcoded
     orientations 0/90/up (file_utilities.py:301-333) → tall signal rows
