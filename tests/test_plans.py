@@ -198,3 +198,19 @@ def test_dropped_registry_variants(spark):
         for r in con.execute(SQL_DECIMATE4).fetchall()
     )
     assert got == want
+
+
+def test_minhash_plan_shapes(spark):
+    """Round-4 scale shapes stay pinned: (a) the signature pipeline is a
+    single-exchange plan (keyed spread reused by the wide aggregate);
+    (b) the verify stage broadcasts the CANDIDATE side — corpus token
+    sets are never shuffled or broadcast."""
+    from ts_process_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs_plan = _plan(dedup.minhash_signatures(docs, hash_mode="md5"))
+    assert sigs_plan.count("Exchange hashpartitioning") == 1, sigs_plan
+    full_plan = _plan(dedup.minhash_dedup_pairs(docs, 0.9, hash_mode="md5"))
+    assert "SortMergeJoin" not in full_plan, full_plan
+    # two verify joins + zero shuffle of the token-set side
+    assert full_plan.count("BroadcastHashJoin") >= 2, full_plan
