@@ -212,5 +212,6 @@ def test_minhash_plan_shapes(spark):
     assert sigs_plan.count("Exchange hashpartitioning") == 1, sigs_plan
     full_plan = _plan(dedup.minhash_dedup_pairs(docs, 0.9, hash_mode="md5"))
     assert "SortMergeJoin" not in full_plan, full_plan
-    # two verify joins + zero shuffle of the token-set side
-    assert full_plan.count("BroadcastHashJoin") >= 2, full_plan
+    # ONE broadcast probe of the bare pair ids against a single corpus
+    # scan (token sets reassembled by hash aggregation, never broadcast)
+    assert full_plan.count("BroadcastHashJoin") == 1, full_plan

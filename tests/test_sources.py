@@ -260,3 +260,43 @@ def test_bbp_bulk_directory_single_job(spark, tmp_path, station_pdf):
     assert h["st1.vel.bbp"]["lp"] == 6.0 and h["st2.vel.bbp"]["padding"] == 2
     assert h["st0.vel.bbp"]["units"] == "cm"
     assert "0,90,up" in h["st0.vel.bbp"]["orientation"]
+
+
+def test_bbp_bulk_hostile_files(spark, tmp_path, station_pdf):
+    """Review-found failure modes stay fixed: sparse headers (missing
+    optional keys), a corrected header (last match wins, matching
+    read_bbp_headers), comment lines after the data block (ignored),
+    a dt=0 file (duplicated first timestamps), and a malformed data
+    line — each costs at most its own rows, never the bulk job."""
+    good = tmp_path / "good.bbp"
+    formats.write_bbp(station_pdf, str(good), units="cm", lp=5.0)
+    sparse = tmp_path / "sparse.bbp"
+    with open(sparse, "w") as f:
+        f.write("# units=cm\n")           # no padding/lp/hp
+        f.write("# padding=5\n")
+        f.write("# padding=10\n")         # corrected: 10 must win
+        f.write("0.00 1.0 2.0 3.0\n")
+        f.write("0.02 4.0 5.0 6.0\n")
+        f.write("# lp=99\n")              # after data: ignored
+        f.write("0.04 bad 7.0 8.0\n")     # malformed token -> null col
+    dtzero = tmp_path / "dtzero.bbp"
+    with open(dtzero, "w") as f:
+        f.write("0.00 1.0 2.0 3.0\n")
+        f.write("0.00 1.5 2.5 3.5\n")     # duplicate first timestamp
+    sig, hdr = formats.read_bbp_bulk(spark, str(tmp_path))
+    got = sig.toPandas()
+    h = {r["file"].rsplit("/", 1)[-1]: r for r in hdr.collect()}
+    assert h["sparse.bbp"]["padding"] == 10          # last match wins
+    assert h["sparse.bbp"]["lp"] is None             # post-data ignored
+    assert h["sparse.bbp"]["units"] == "cm"
+    assert h["good.bbp"]["lp"] == 5.0
+    # read_bbp_headers agrees on the corrected header
+    assert formats.read_bbp_headers(str(sparse))["padding"] == 10
+    assert "lp" not in formats.read_bbp_headers(str(sparse))
+    sp = got[got["file"].str.endswith("sparse.bbp")].sort_values("t")
+    assert list(sp["i"]) == [0, 1, 2] and sp["dt"].iloc[0] == 0.02
+    assert np.isnan(sp["h1"].iloc[2])                # bad token -> null
+    dz = got[got["file"].str.endswith("dtzero.bbp")]
+    assert set(dz["i"]) == {0} and len(dz) == 2      # dt=0 -> degrade
+    gd = got[got["file"].str.endswith("good.bbp")]
+    assert len(gd) == len(station_pdf)               # unaffected

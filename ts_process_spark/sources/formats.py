@@ -108,37 +108,57 @@ def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     from pyspark.sql import Window
 
     lines = spark.read.text(path).select(
-        F.input_file_name().alias("file"), F.col("value")
+        F.input_file_name().alias("file"),
+        F.col("value"),
+        # split-ordered monotonic id: headers live in each file's first
+        # block, so this orders the leading comment lines correctly
+        F.monotonically_increasing_id().alias("_lid"),
     )
-    # ---- header columns (comment lines only)
-    hdr = lines.where(F.col("value").rlike(r"^[#%]")).select(
-        "file", F.lower(F.col("value")).alias("v")
+    # ---- header columns: mirror read_bbp_headers exactly — only the
+    # LEADING comment block counts (stop at the first data line) and
+    # the LAST match per key wins, all keys optional (missing → NULL,
+    # never an ANSI cast error on '')
+    first_data = (
+        lines.where(
+            ~F.col("value").rlike(r"^[#%]") & (F.trim(F.col("value")) != "")
+        )
+        .groupBy("file")
+        .agg(F.min("_lid").alias("_fd"))
     )
-    first_num = lambda key: F.max(  # noqa: E731
-        F.regexp_extract(F.col("v"), rf"{key}\s*=\s*([^\s,]+)", 1)
+    hdr = (
+        lines.where(F.col("value").rlike(r"^[#%]"))
+        .join(first_data, "file", "left")
+        .where(F.col("_fd").isNull() | (F.col("_lid") < F.col("_fd")))
+        .select("file", F.lower(F.col("value")).alias("v"), "_lid")
     )
+
+    def last_match(key_re: str):
+        extr = F.regexp_extract(F.col("v"), key_re, 1)
+        # max_by ignores rows whose ordering value is NULL → only lines
+        # that actually matched compete, and the latest one wins
+        return F.max_by(extr, F.when(extr != "", F.col("_lid")))
+
     headers = hdr.groupBy("file").agg(
-        F.max(
-            F.regexp_extract(F.col("v"), r"units\s*=\s*([^\s,]+)", 1)
-        ).alias("units"),
-        first_num("padding").cast("int").alias("padding"),
-        first_num("lp").cast("double").alias("lp"),
-        first_num("hp").cast("double").alias("hp"),
-        F.max(F.regexp_extract(F.col("v"), r"orientation\s*=\s*(.+)", 1)).alias(
-            "orientation"
-        ),
+        last_match(r"units\s*=\s*([^\s,]+)").alias("units"),
+        last_match(r"padding\s*=\s*([^\s,]+)").try_cast("int").alias("padding"),
+        last_match(r"lp\s*=\s*([^\s,]+)").try_cast("double").alias("lp"),
+        last_match(r"hp\s*=\s*([^\s,]+)").try_cast("double").alias("hp"),
+        last_match(r"orientation\s*=\s*(.+)").alias("orientation"),
     )
     # ---- data rows (read_file_bbp2 comment semantics, per file)
     clean = lines.select(
         "file", F.trim(F.split(F.col("value"), "[#%]").getItem(0)).alias("v")
-    ).where(F.col("v") != "")
+    ).where(F.col("v") != "")  # _lid dropped: data rows are t-ordered
     parts = F.split(F.col("v"), r"\s+")
+    # try_cast, not cast: one malformed line in one of 10^5 files must
+    # cost that ROW (reference parity is a crash, but only per-file),
+    # not an ANSI CAST_INVALID_INPUT abort of the whole bulk ingest
     df = clean.select(
         "file",
-        parts.getItem(0).cast("double").alias("t"),
-        parts.getItem(1).cast("double").alias("h1"),
-        parts.getItem(2).cast("double").alias("h2"),
-        parts.getItem(3).cast("double").alias("ver"),
+        parts.getItem(0).try_cast("double").alias("t"),
+        parts.getItem(1).try_cast("double").alias("h1"),
+        parts.getItem(2).try_cast("double").alias("h2"),
+        parts.getItem(3).try_cast("double").alias("ver"),
     ).where(F.col("t").isNotNull())
     wo = Window.partitionBy("file").orderBy("t")
     wf = Window.partitionBy("file")
@@ -155,8 +175,11 @@ def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
         )
         .withColumn(
             "i",
+            # dt = 0 (duplicated first timestamps in one malformed file)
+            # must not DIVIDE_BY_ZERO-abort the whole ingest: degrade to
+            # i=0 exactly like the single-file reader's falsy-dt guard
             F.when(
-                F.col("dt").isNotNull(),
+                F.col("dt").isNotNull() & (F.col("dt") != 0),
                 F.round(F.col("t") / F.col("dt")).cast("int"),
             ).otherwise(F.lit(0)),
         )
