@@ -161,6 +161,18 @@ def main() -> None:
             "doc_simhash_pairs_prod",
             lambda: dedup.simhash_pairs(docs, max_hamming=3),
         )
+        from ts_process_spark.operators import textstats
+
+        _bench_query(
+            "doc_bm25",
+            lambda: textstats.bm25_scores(
+                docs, ["the", "data", "model", "training"]
+            ),
+        )
+        _bench_query(
+            "doc_tfidf_top5",
+            lambda: textstats.tfidf_top_terms(docs, top_k=5),
+        )
 
         print(
             json.dumps(

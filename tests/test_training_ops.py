@@ -470,3 +470,111 @@ def test_bucket_pairs_two_level_split(spark):
     assert m.n_buckets == 3 and m.n_split_buckets == 2
     assert m.n_dropped_sub_buckets == 1
     assert m.n_dropped_pairs == 25 * 24 // 2
+
+
+def test_bm25_matches_duckdb_oracle(spark):
+    """bm25_scores against a DuckDB replica of the same formula on the
+    shared documents parquet — rtol 1e-12 (log/divide are libm ops, so
+    this is a pytest oracle, not a hash gate).  Plan contract: no
+    explode, no exchange of corpus rows (one broadcast of the 1-row
+    stats aggregate)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    terms = ["the", "data", "zyzzyx"]  # common, mid, absent
+    got = {
+        r["id"]: r
+        for r in textstats.bm25_scores(docs, terms, k1=1.2, b=0.75).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    words = (
+        "list_filter(string_split_regex(trim(coalesce(text, '')),"
+        " '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')"
+    )
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * "
+        f"(b.tf_{i} * 2.2 / (b.tf_{i} + 1.2 * (0.25 + 0.75 * b.doc_len / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    want = con.execute(f"""
+        WITH w0 AS (
+            SELECT doc_id AS id, {words} AS w FROM documents
+        ), b AS (
+            SELECT id, len(w) AS doc_len, {tf_cols} FROM w0
+        ), s AS (
+            SELECT count(*) AS n, sum(doc_len) * 1.0 / count(*) AS avgdl,
+                   {df_cols}
+            FROM b
+        )
+        SELECT b.id, b.doc_len, {score} AS bm25 FROM b, s
+    """).df()
+    assert len(want) == len(got)
+    for _, r in want.iterrows():
+        g = got[r["id"]]
+        assert g.doc_len == r["doc_len"]
+        assert abs(g.bm25 - r["bm25"]) <= 1e-12 * max(1.0, abs(r["bm25"]))
+    # absent term contributes 0 to every doc
+    assert all(g["tf_2"] == 0 for g in got.values())
+    # plan: no explode, corpus rows never shuffle
+    plan = textstats.bm25_scores(docs, terms)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Generate" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tfidf_top_terms_matches_duckdb_oracle(spark):
+    """tfidf_top_terms vs a DuckDB window replica: same top-k terms in
+    the same (-score, term) order, scores at rtol 1e-12."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["id"]: (list(r["terms"]), list(r["scores"]))
+        for r in textstats.tfidf_top_terms(docs, top_k=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    words = (
+        "list_filter(string_split_regex(trim(coalesce(text, '')),"
+        " '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')"
+    )
+    want = con.execute(f"""
+        WITH ex AS (
+            SELECT doc_id AS id, unnest({words}) AS w FROM documents
+        ), tf AS (
+            SELECT id, w, count(*) AS tf FROM ex GROUP BY 1, 2
+        ), d AS (
+            SELECT w, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents),
+        s AS (
+            SELECT tf.id, tf.w, tf.tf * ln(n.n * 1.0 / d.df) AS s
+            FROM tf JOIN d USING (w), n
+        ), r AS (
+            SELECT id, w, s, row_number() OVER (
+                PARTITION BY id ORDER BY s DESC, w ASC) AS rk
+            FROM s
+        )
+        SELECT id, list(w ORDER BY rk) AS terms, list(s ORDER BY rk) AS scores
+        FROM r WHERE rk <= 3 GROUP BY id
+    """).df()
+    assert len(want) == len(got)
+    for _, r in want.iterrows():
+        terms, scores = got[r["id"]]
+        assert terms == list(r["terms"]), (r["id"], terms, r["terms"])
+        for a, b in zip(scores, r["scores"]):
+            assert abs(a - b) <= 1e-12 * max(1.0, abs(b))

@@ -137,3 +137,129 @@ def with_fingerprint(
         lambda acc, w: (acc * 33 + hfn(w)) % _FP_MOD,
     )
     return df.withColumn("fingerprint", fp)
+
+
+# ------------------------------------------------- relevance scoring
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a small fixed
+    query-term list — the standard retrieval/curation scorer (published
+    formula; idf = ln(1 + (N − df + 0.5)/(df + 0.5)), the Lucene
+    non-negative variant).
+
+    Scale shape: per-term tf is `size(filter(tokens, = term))` — pure
+    array expressions in the scan projection, NO explode and NO shuffle
+    for any number of documents.  The only global state is one 1-row
+    aggregate (N, avgdl, df per term) broadcast back with a crossJoin;
+    total cost at 100 TB = two corpus scans, zero exchanges of corpus
+    data.  Query terms are compile-time literals, so Catalyst folds the
+    per-term expressions into the same whole-stage-codegen projection.
+
+    Output: (id, doc_len, tf_0..tf_{T-1}, bm25)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col(text_col))
+
+    def _tf(term: str) -> Column:
+        # closure factory, NOT a default arg: a 2-param lambda would be
+        # interpreted by Spark as (element, index) and bind the term to
+        # the array-index column
+        return F.size(F.filter(toks, lambda w: w == F.lit(term))).cast("long")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("doc_len"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("doc_len").alias("_sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"_df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sum_dl") / F.col("_n_docs")
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
+            / (F.col(f"_df_{i}") + 0.5)
+        )
+        tf = F.col(f"tf_{i}")
+        score = score + idf * (
+            tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
+        )
+    return scored.select(
+        "id",
+        "doc_len",
+        *[f"tf_{i}" for i in range(len(query_terms))],
+        score.alias("bm25"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    min_df: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df), smooth-free
+    textbook form; ties broken by term asc for determinism).
+
+    Scale shape: explode → ONE (id, term) hash-aggregate for tf →
+    term-keyed df aggregate (partial-combined, shuffle O(vocab)) joined
+    back, then a per-doc top-k via array sort of collected (score,
+    term) structs — shuffle O(doc × distinct-terms), never O(tokens).
+    Output: (id, terms array<string>, scores array<double>)."""
+    toks = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
+    tf = ex.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # N as a broadcast 1-row aggregate — query construction stays
+    # action-free (the queries_ts.py:52 contract), and N counts ALL
+    # docs including empty ones
+    nd = df.agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "id",
+            "w",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("s"),
+        )
+    )
+    # top-k: collect per doc, sort by (-score, term), slice — the
+    # per-doc distinct-term count is bounded by doc length, so the
+    # collected array is small even when the corpus is not
+    agg = scored.groupBy("id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("s")).alias("neg"),
+                                        F.col("w").alias("w"))),
+            ),
+            1,
+            top_k,
+        ).alias("top")
+    )
+    return agg.select(
+        "id",
+        F.transform("top", lambda x: x["w"]).alias("terms"),
+        F.transform("top", lambda x: -x["neg"]).alias("scores"),
+    )
