@@ -144,3 +144,61 @@ def test_stream_exact_dedup(spark, tmp_path):
     )
     n_got = spark.sql(f"SELECT count(*) FROM {name}").first()[0]
     assert n_got == n_keys  # every distinct key survives exactly once
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch join for every pair
+    whose interval both watermarks have sealed; join state is evicted
+    (bounded) by the time-range condition + watermarks."""
+    from ts_process_spark.streaming.ingest import run_interval_join_to_memory
+
+    tpath = str(tmp_path / "turns")
+    apath = str(tmp_path / "acks")
+    raw = transcripts(spark, n_convs=6, seed=9, median_turns=15).where(
+        F.col("ts").isNotNull()
+    )
+    raw.repartition(4).write.mode("overwrite").parquet(tpath)
+    # acks: every third turn acknowledged 30s later
+    (
+        raw.where(F.col("turn_idx") % 3 == 0)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(apath)
+    )
+    got = run_interval_join_to_memory(spark, tpath, apath, max_delay_s=120)
+    turns = spark.read.parquet(tpath)
+    acks = spark.read.parquet(apath)
+    batch = (
+        turns.alias("t")
+        .join(
+            acks.alias("a"),
+            (F.col("t.conv_id") == F.col("a.conv_id"))
+            & (F.col("a.ts") > F.col("t.ts"))
+            & (F.col("a.ts") <= F.col("t.ts") + F.expr("INTERVAL 120 SECONDS")),
+        )
+        .select(
+            F.col("t.conv_id").alias("conv_id"),
+            F.col("t.turn_idx").alias("turn_idx"),
+            F.col("t.ts").alias("turn_ts"),
+            F.col("a.ts").alias("ack_ts"),
+            F.col("a.role").alias("ack_role"),
+        )
+    )
+    # append mode emits pairs sealed by both watermarks (10 min before
+    # each side's max event time); restrict the batch reference the
+    # same way
+    wm_t = turns.agg(F.max("ts")).first()[0]
+    wm_a = acks.agg(F.max("ts")).first()[0]
+    import datetime as _dt
+
+    seal = min(wm_t, wm_a) - _dt.timedelta(minutes=10)
+    sealed = batch.where(
+        (F.col("ack_ts") < F.lit(seal)) & (F.col("turn_ts") < F.lit(seal))
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in sealed.collect()}
+    assert want_rows, "fixture produced no sealed pairs"
+    assert want_rows <= got_rows  # every sealed pair emitted
+    all_rows = {tuple(r) for r in batch.collect()}
+    assert got_rows <= all_rows  # nothing invented

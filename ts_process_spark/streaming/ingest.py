@@ -217,3 +217,79 @@ def stream_exact_dedup(
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["conv_id", "digest"])
     )
+
+
+# --------------------------------------------------------------------------
+# Stream–stream interval join (the §2.3 join family in streaming form)
+
+
+def stream_interval_join(
+    turns: DataFrame,
+    acks: DataFrame,
+    max_delay_s: int = 120,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream–stream INTERVAL join: each turn is matched to
+    acknowledgment events of the same conversation arriving within
+    (turn_ts, turn_ts + max_delay_s].
+
+    This is the class of streaming operator the other entries don't
+    cover: BOTH sides are unbounded, so correctness depends on the
+    time-range condition + both watermarks letting Spark bound and
+    EVICT join state (without the interval bound the right side's state
+    would grow forever).  Output is append-mode: a match is emitted once
+    both watermarks pass the interval's end.
+
+    Columns: turns(conv_id, turn_idx, ts, …), acks(conv_id, ts, …).
+    """
+    t = (
+        turns.where(F.col("ts").isNotNull())
+        .select(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("ts").alias("turn_ts"),
+        )
+        .withWatermark("turn_ts", watermark)
+    )
+    a = (
+        acks.where(F.col("ts").isNotNull())
+        .select(
+            F.col("conv_id").alias("ack_conv"),
+            F.col("ts").alias("ack_ts"),
+            F.col("role").alias("ack_role"),
+        )
+        .withWatermark("ack_ts", watermark)
+    )
+    return t.join(
+        a,
+        (F.col("conv_id") == F.col("ack_conv"))
+        & (F.col("ack_ts") > F.col("turn_ts"))
+        & (
+            F.col("ack_ts")
+            <= F.col("turn_ts") + F.expr(f"INTERVAL {max_delay_s} SECONDS")
+        ),
+    ).select("conv_id", "turn_idx", "turn_ts", "ack_ts", "ack_role")
+
+
+def run_interval_join_to_memory(
+    spark: SparkSession,
+    turns_path: str,
+    acks_path: str,
+    max_delay_s: int = 120,
+    query_name: str = "interval_join_stream",
+) -> DataFrame:
+    """Drive the interval join over static directories (test harness)."""
+    q = (
+        stream_interval_join(
+            stream_raw(spark, turns_path),
+            stream_raw(spark, acks_path),
+            max_delay_s=max_delay_s,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
