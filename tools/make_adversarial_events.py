@@ -74,6 +74,14 @@ def main() -> None:
     add(1006, 64, vals=[0.0], etype="purchase")    # all-zero series
     add(1007, 40, null_ts_every=5, etype="signup")  # many gap-fills
     add(1008, 33, etype="view", step_s=4000)        # multi-bucket spread
+    # FAS per-series FFT-size boundaries (get_points: np = 2^bit_length):
+    # n = 31/32/33 straddle np 32→64 and n = 63/64 straddle 64→128 —
+    # every CASE arm and stage-skip path of the staged butterfly oracle
+    add(1009, 31, etype="click")
+    add(1010, 32, etype="click")
+    add(1011, 33, etype="click")
+    add(1012, 63, etype="view")
+    # (1005/1006 already pin n = 64 with constant/zero series)
     # users that EXIST in the symlinked orders/customer tables, so the
     # join-shaped queries (asof_join, user_nation_rollup) exercise the
     # hostile ts patterns too instead of matching nothing
