@@ -173,6 +173,13 @@ def main() -> None:
             "doc_tfidf_top5",
             lambda: textstats.tfidf_top_terms(docs, top_k=5),
         )
+        from ts_process_spark.operators import similarity
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _bench_query(
+            "emb_pq_ann",
+            lambda: similarity.pq_ann_topk(embs, k=3, n_queries=10),
+        )
 
         print(
             json.dumps(

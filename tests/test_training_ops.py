@@ -578,3 +578,63 @@ def test_tfidf_top_terms_matches_duckdb_oracle(spark):
         assert terms == list(r["terms"]), (r["id"], terms, r["terms"])
         for a, b in zip(scores, r["scores"]):
             assert abs(a - b) <= 1e-12 * max(1.0, abs(b))
+
+
+def test_pq_ann_codes_and_recall(spark):
+    """Product quantization: (a) a codeword vector encodes to itself in
+    every subspace and its self-ADC distance is 0; (b) ADC top-k recall
+    vs exact quantized-L2 top-k beats random on the shared embeddings;
+    (c) deterministic across runs."""
+    from pyspark.sql import Window as W2
+    from pyspark.sql import functions as F2
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    enc = similarity.pq_encode(emb, m=8, n_codes=16)
+    rows = {r["id"]: list(r["codes"]) for r in enc.collect()}
+    low16 = sorted(rows)[:16]
+    for c, vid in enumerate(low16):
+        assert rows[vid] == [c] * 8, (vid, rows[vid])  # codeword -> itself
+    got = similarity.pq_ann_topk(emb, k=5, m=8, n_codes=16, n_queries=8)
+    g1 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    g2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.pq_ann_topk(
+            emb, k=5, m=8, n_codes=16, n_queries=8
+        ).collect()
+    }
+    assert g1 == g2  # deterministic
+    # exact quantized-L2 top-k ground truth
+    base = similarity.cosine_base(emb, "vec_id", "embedding")
+    q = base.orderBy("id").limit(8).select(
+        F2.col("id").alias("query_id"), F2.col("q").alias("qq")
+    )
+    d2 = F2.aggregate(
+        F2.zip_with("qq", "q", lambda x, y: (x - y) * (x - y)),
+        F2.lit(0).cast("long"), lambda s, v: s + v,
+    )
+    ex = (
+        base.join(F2.broadcast(q), F2.col("id") != F2.col("query_id"))
+        .select("query_id", F2.col("id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn(
+            "rank",
+            F2.row_number().over(
+                W2.partitionBy("query_id").orderBy(
+                    F2.col("d2").asc(), F2.col("neighbor_id")
+                )
+            ),
+        )
+        .where(F2.col("rank") <= 5)
+    )
+    truth: dict[int, set] = {}
+    for r in ex.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for (qid, _rk), nid in g1.items():
+        total += 1
+        hits += nid in truth[qid]
+    recall = hits / total
+    n_vecs = emb.count()
+    random_expect = 5 / (n_vecs - 1)
+    assert recall > 10 * random_expect, (recall, random_expect)
+    assert recall >= 0.2, recall  # crude 16-codeword book, floor only

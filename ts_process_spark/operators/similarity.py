@@ -394,3 +394,144 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoder (Jégou et al., TPAMI 2011): the
+    vector splits into ``m`` subspaces of dim/m dims; each sub-vector is
+    replaced by the id of its nearest codeword (squared-L2 over the
+    QUANTIZED ints — exact int64, ties → lowest code).  Codebook =
+    sub-vectors of the ``n_codes`` lowest-id vectors, the same
+    deterministic convention as the IVF coarse quantizer (at real scale
+    both would come from sampled k-means; encode — the distributed
+    step — has exactly this plan).
+
+    Scale shape: codebook broadcast as ONE aggregated row; encoding is
+    pure map-side array arithmetic in the scan projection — the corpus
+    never shuffles, and the stored footprint per vector drops from
+    dim floats to m small ints (the memory-compression story that makes
+    100 TB ANN state fit a cluster).
+
+    Output: (id, q, nq, codes array<int> length m)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    base = cosine_base(df, id_col, vec_col)
+    cbrow = (
+        base.orderBy("id")
+        .limit(n_codes)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
+        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
+    )
+
+    def subdist(vec: Column, c: int, j: int) -> Column:
+        a = F.slice(vec, j * ds + 1, ds)
+        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    def code(j: int) -> Column:
+        darr = F.array(*[subdist(F.col("q"), c, j) for c in range(n_codes)])
+        return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    return (
+        base.crossJoin(F.broadcast(cbrow))
+        .select(
+            "id", "q", "nq",
+            F.array(*[code(j) for j in range(m)]).alias("codes"),
+        )
+    )
+
+
+def pq_ann_topk(
+    df: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k nearest neighbors (squared L2, ascending) via
+    asymmetric distance computation over PQ codes: each query builds an
+    m×n_codes lookup table of exact sub-distances to every codeword,
+    and a candidate's distance is m table lookups summed — never a
+    dim-length dot against the raw vector.  Queries (+LUTs) broadcast;
+    the corpus side carries only the m-int codes, so the scored stream
+    is O(corpus × queries) tiny rows.  At real scale this composes with
+    ivf_cell_assignments (probe nprobe cells, then ADC-score only those
+    cells' codes).  Ties → lowest neighbor id; exact for query vectors
+    that are themselves codewords."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    from pyspark.sql import Window
+
+    enc = pq_encode(df, m, n_codes, dim, id_col, vec_col)
+    base = cosine_base(df, id_col, vec_col)
+    cbrow = (
+        base.orderBy("id")
+        .limit(n_codes)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
+        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
+    )
+
+    def subdist(vec: Column, c: int, j: int) -> Column:
+        a = F.slice(vec, j * ds + 1, ds)
+        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    queries = (
+        base.orderBy("id")
+        .limit(n_queries)
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            F.col("id").alias("query_id"),
+            F.array(*[
+                F.array(*[subdist(F.col("q"), c, j) for c in range(n_codes)])
+                for j in range(m)
+            ]).alias("lut"),
+        )
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+    scored = enc.join(
+        F.broadcast(queries), F.col("id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        adist.alias("approx_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "approx_d2")
+    )
