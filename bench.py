@@ -180,6 +180,10 @@ def main() -> None:
             "emb_pq_ann",
             lambda: similarity.pq_ann_topk(embs, k=3, n_queries=10),
         )
+        _bench_query(
+            "emb_ivfpq_ann",
+            lambda: similarity.ivfpq_ann_topk(embs, k=3, n_queries=10),
+        )
 
         print(
             json.dumps(

