@@ -697,8 +697,39 @@ def test_ivfpq_ann_composition(spark):
     assert total > 0
     recall = hits / total
     assert recall > 10 * (5 / (n_vecs - 1)), recall
-    # pq-only at the same k should never beat ivfpq on candidate scope:
-    # every ivfpq neighbor is cell-probed (structural containment)
-    probed_ok = all(assigned[nid] is not None for (_, _), nid in
-                    zip(g1.keys(), g1.values()))
-    assert probed_ok
+    # structural containment: every returned neighbor must live in one
+    # of ITS query's probed cells
+    # recompute the probe rule: nprobe best cells by rounded quantized
+    # cosine (desc, cell_id tie) — same expression as the operator
+    cell_rows = similarity.cosine_base(emb, "vec_id", "embedding")
+    cells = cell_rows.orderBy("id").limit(16).select(
+        F3.col("id").alias("cell_id"), F3.col("q").alias("cv"),
+        F3.col("nq").alias("ncv"),
+    )
+    qc = (
+        q.join(F3.broadcast(cells))
+        .select(
+            "query_id", "cell_id",
+            F3.round(
+                similarity.cosine_qn(
+                    F3.col("qq"), F3.col("cv"),
+                    similarity.dot_long(F3.col("qq"), F3.col("qq")),
+                    F3.col("ncv"),
+                ), 6,
+            ).alias("qc"),
+        )
+        .withColumn(
+            "rn",
+            F3.row_number().over(
+                W3.partitionBy("query_id").orderBy(
+                    F3.col("qc").desc(), F3.col("cell_id")
+                )
+            ),
+        )
+        .where(F3.col("rn") <= 6)
+    )
+    probed = {}
+    for r in qc.collect():
+        probed.setdefault(r["query_id"], set()).add(r["cell_id"])
+    for (qid, _rk), nid in g1.items():
+        assert assigned[nid] in probed[qid], (qid, nid, assigned[nid])
