@@ -733,3 +733,29 @@ def test_ivfpq_ann_composition(spark):
         probed.setdefault(r["query_id"], set()).add(r["cell_id"])
     for (qid, _rk), nid in g1.items():
         assert assigned[nid] in probed[qid], (qid, nid, assigned[nid])
+
+
+def test_embedding_dedup_keep_list_composition(spark):
+    """The full embedding-dedup pipeline composes from existing ops:
+    SRP-blocked near-dup pairs → connected components → keep list —
+    same machinery as the document keep-list, over vectors.  Every
+    vector gets exactly one row, every component keeps exactly its
+    min id, and pair endpoints always share a component."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    pairs = similarity.embedding_neardup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    keep = dedup.dedup_keep_list(emb, pairs, id_col="vec_id")
+    rows = keep.collect()
+    assert len(rows) == emb.count()  # one row per vector
+    comp = {r["vec_id"]: r["component"] for r in rows}
+    kept = {r["vec_id"] for r in rows if r["keep"]}
+    by_comp: dict[int, list[int]] = {}
+    for vid, c in comp.items():
+        by_comp.setdefault(c, []).append(vid)
+    for c, ids in by_comp.items():
+        assert sum(1 for i in ids if i in kept) == 1
+        assert min(ids) in kept  # keep = smallest id
+    for r in pairs.collect():
+        assert comp[r["id_a"]] == comp[r["id_b"]]
