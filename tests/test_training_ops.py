@@ -759,3 +759,24 @@ def test_embedding_dedup_keep_list_composition(spark):
         assert min(ids) in kept  # keep = smallest id
     for r in pairs.collect():
         assert comp[r["id_a"]] == comp[r["id_b"]]
+
+
+def test_pq_encode_arrow_matches_hof_path(spark):
+    """The Arrow-batch PQ encoder (production throughput path) emits
+    BIT-IDENTICAL codes to the interpreted-HOF pq_encode, including
+    HALF_UP quantization parity with F.round."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cb = similarity.pq_train(emb, n_codes=16)
+    assert cb.shape == (16, 64) and cb.dtype == np.int64
+    arrow = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode_arrow(emb, cb, m=8).collect()
+    }
+    hof = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, m=8, n_codes=16).collect()
+    }
+    assert arrow == hof

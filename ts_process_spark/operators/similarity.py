@@ -655,3 +655,74 @@ def ivfpq_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "approx_d2")
     )
+
+
+def pq_train(
+    df: DataFrame,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """ACTION (the one deliberate driver round-trip in this module):
+    materialize the deterministic PQ codebook as an (n_codes × dim)
+    int64 array — the train/add split every PQ system has (FAISS
+    train() is a separate job too); the returned array ships to
+    executors inside the task closure, bytes not rows."""
+    base = cosine_base(df, id_col, vec_col)
+    rows = base.orderBy("id").limit(n_codes).select("id", "q").collect()
+    rows = sorted(rows, key=lambda r: r["id"])
+    return np.array([list(r["q"]) for r in rows], dtype=np.int64)
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebook: "np.ndarray",
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput-path PQ encoder: the SAME int64 math as pq_encode
+    (quantize → per-subspace squared-L2 argmin, first-min tie) run as
+    one vectorized NumPy kernel per Arrow batch instead of interpreted
+    array HOFs — bit-identical codes (pytest-pinned), ~interpreter-free.
+    Map-side only: the codebook rides the task closure, the corpus never
+    shuffles.  Quantization uses HALF_UP (floor(|x|+0.5)·sign) to match
+    Spark's F.round exactly, not np.round's banker's rounding."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_codes, dim = codebook.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    sub_cb = np.ascontiguousarray(codebook.reshape(n_codes, m, ds))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Q = (np.floor(np.abs(X) * 1e6 + 0.5) * np.sign(X)).astype(np.int64)
+            S = Q.reshape(len(pdf), m, ds)
+            # (B, n_codes, m): per-subspace squared L2 to every codeword
+            diff = S[:, None, :, :] - sub_cb[None, :, :, :]
+            d = np.einsum("bcjk,bcjk->bcj", diff, diff)
+            codes = d.argmin(axis=1).astype(np.int32)  # first-min ties
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "codes": [list(c) for c in codes],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run, schema=schema
+    )
