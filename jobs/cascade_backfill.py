@@ -45,7 +45,13 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("ts-cascade-backfill").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("ts-cascade-backfill")
+        # FAIR mode so the per-bucket scheduler pools actually isolate
+        # straggler chains (pool names are inert under FIFO)
+        .config("spark.scheduler.mode", "FAIR")
+        .getOrCreate()
+    )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     from ts_process_spark.plans.backfill import TableSet, backfill, verify_lineage

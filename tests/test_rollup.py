@@ -242,3 +242,69 @@ def test_cascade_blob_cap_surfaces_drops(spark):
         da = list(decode_dod(bytes(a["ts_blob"])))
         db = list(decode_dod(bytes(b["ts_blob"])))
         assert da[: len(db)] == db
+
+
+def test_null_text_normalizes_at_operator(spark):
+    """rollup_raw_to_1m must treat NULL text as '' at the OPERATOR, not
+    rely on callers: counts/sums stay consistent, sum_text_len never
+    goes NULL, and the blob carries 0.0 instead of NaN."""
+    import datetime as dt
+
+    import numpy as np
+
+    from ts_process_spark.functions.codecs import decode_gorilla
+    from ts_process_spark.operators.rollup import rollup_raw_to_1m
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello", None, t0),
+        ("c1", 1, "assistant", None, None, t0 + dt.timedelta(seconds=10)),
+        ("c1", 2, "user", "bye", None, t0 + dt.timedelta(seconds=20)),
+    ]
+    raw = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    out = rollup_raw_to_1m(raw).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_turns"] == 3
+    assert r["sum_text_len"] == 8  # 5 + 0 + 3
+    assert r["peak_text_len"] == 5
+    assert r["mean_text_len"] == 8 / 3
+    vals = decode_gorilla(bytes(r["val_blob"]))
+    assert list(vals) == [5.0, 0.0, 3.0]
+    assert not np.isnan(vals).any()
+
+
+def test_blob_chunks_dropped_propagates_through_cascade(spark):
+    """A capped tier's drop counter survives further cascading: the 1d
+    row reports its own drops PLUS the summed 1h drops (the transitive
+    no-silent-caps rule)."""
+    import datetime as dt
+
+    from ts_process_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_raw_to_1m,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    for m in range(120):  # two hours of minutes, one conv
+        rows.append(("c1", m, "user", "x" * 50, None,
+                     t0 + dt.timedelta(minutes=m)))
+    raw = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t1m = rollup_raw_to_1m(raw)
+    t1h = rollup_cascade(t1m, "1h", max_blob_bytes=200)  # forces 1h drops
+    h = {r["bucket_ts"]: r for r in t1h.collect()}
+    h_drops = sum(r["blob_chunks_dropped"] for r in h.values())
+    assert h_drops > 0
+    t1d = rollup_cascade(t1h, "1d", max_blob_bytes=10**9)  # no own drops
+    d = t1d.collect()[0]
+    assert d["blob_chunks_dropped"] == h_drops  # child drops propagated
+    # uncapped cascade of a capped child still carries the counter
+    t1d2 = rollup_cascade(t1h, "1d")
+    assert t1d2.collect()[0]["blob_chunks_dropped"] == h_drops

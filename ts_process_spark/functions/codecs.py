@@ -115,45 +115,14 @@ def _unzigzag(u: int) -> int:
 
 
 def encode_dod(ts_us: np.ndarray) -> bytes:
-    """int64 µs timestamps → bytes. Layout: [n:uint32][ts0:64][d0 zigzag:64][codes]."""
+    """int64 µs timestamps → bytes. Layout: [n:uint32][ts0:64][d0 zigzag:64][codes].
+
+    Delegates to encode_dod_batch with one segment — the batch form IS
+    the implementation; keeping two copies of the bucket/ctrl/header
+    layout let them drift (review finding: the byte-identity of single
+    vs batch blobs is a load-bearing cascade invariant)."""
     ts = np.asarray(ts_us, dtype=np.int64)
-    n = len(ts)
-    if n == 0:
-        return _pack(np.zeros(0, np.uint8), 0)
-    head_vals = [np.uint64(ts[0])]
-    head_lens = [64]
-    if n >= 2:
-        d0 = ts[1] - ts[0]
-        head_vals.append(_zigzag(np.array([d0], np.int64))[0])
-        head_lens.append(64)
-    vals: list[np.ndarray] = [np.array(head_vals, np.uint64)]
-    lens: list[np.ndarray] = [np.array(head_lens, np.int64)]
-    if n >= 3:
-        deltas = np.diff(ts)
-        dod = deltas[1:] - deltas[:-1]
-        zz = _zigzag(dod)
-        m = len(dod)
-        ctrl_v = np.zeros(m, np.uint64)
-        ctrl_l = np.zeros(m, np.int64)
-        pay_l = np.zeros(m, np.int64)
-        done = dod == 0
-        ctrl_l[done] = 1  # control '0', no payload
-        for cv, cl, pl in _DOD_BUCKETS:
-            fits = (~done) & (zz < (np.uint64(1) << np.uint64(pl)) if pl < 64 else ~done)
-            ctrl_v[fits] = cv
-            ctrl_l[fits] = cl
-            pay_l[fits] = pl
-            done |= fits
-        inter = np.empty(2 * m, np.uint64)
-        inter[0::2] = ctrl_v
-        inter[1::2] = zz
-        inter_l = np.empty(2 * m, np.int64)
-        inter_l[0::2] = ctrl_l
-        inter_l[1::2] = pay_l
-        vals.append(inter)
-        lens.append(inter_l)
-    bits = _bit_scatter(np.concatenate(vals), np.concatenate(lens))
-    return _pack(bits, n)
+    return encode_dod_batch(ts, np.array([len(ts)], dtype=np.int64))[0]
 
 
 def decode_dod(buf: bytes) -> np.ndarray:
@@ -213,7 +182,14 @@ def encode_gorilla(values: np.ndarray, optimal: bool = False) -> bytes:
     chain (inherently order-dependent).  Both produce bitstreams the same
     ``decode_gorilla`` reads.
     """
-    v = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
+    arr = np.asarray(values, dtype=np.float64)
+    if not optimal:
+        # fast path delegates to the batch twin with one segment — one
+        # copy of the bitstream layout (see encode_dod)
+        return encode_gorilla_batch(
+            arr, np.array([len(arr)], dtype=np.int64)
+        )[0]
+    v = np.ascontiguousarray(arr).view(np.uint64)
     n = len(v)
     if n == 0:
         return _pack(np.zeros(0, np.uint8), 0)
@@ -229,49 +205,32 @@ def encode_gorilla(values: np.ndarray, optimal: bool = False) -> bytes:
     hdr_l = np.zeros(m, np.int64)
     pay_v = np.zeros(m, np.uint64)
     pay_l = np.zeros(m, np.int64)
-    nz = xors != 0
-    if not optimal:
-        ctrl_l[:] = 1  # '0' for unchanged
-        ctrl_v[nz] = 0b11
-        ctrl_l[nz] = 2
-        hdr_v[nz] = (lz[nz].astype(np.uint64) << np.uint64(6)) | (
-            sig[nz].astype(np.uint64) & np.uint64(0x3F)
-        )
-        hdr_l[nz] = 11
-        shift = tz.astype(np.uint64)
-        mask = np.where(
-            sig >= 64, np.uint64(0xFFFFFFFFFFFFFFFF),
-            (np.uint64(1) << sig.clip(0, 63).astype(np.uint64)) - np.uint64(1),
-        )
-        pay_v[nz] = (xors[nz] >> shift[nz]) & mask[nz]
-        pay_l[nz] = sig[nz]
-    else:
-        # paper-faithful sequential window-reuse chain
-        prev_lz, prev_sig = -1, -1
-        lz_l, tz_l, sig_l, xors_l = lz.tolist(), tz.tolist(), sig.tolist(), xors.tolist()
-        for i in range(m):
-            x = xors_l[i]
-            if x == 0:
-                ctrl_v[i], ctrl_l[i] = 0, 1
-                continue
-            li, ti, si = lz_l[i], tz_l[i], sig_l[i]
-            if (
-                prev_lz >= 0
-                and prev_sig > 0
-                and li >= prev_lz
-                and ti >= 64 - prev_lz - prev_sig
-            ):
-                ctrl_v[i], ctrl_l[i] = 0b10, 2
-                shift = 64 - prev_lz - prev_sig
-                pay_v[i] = (x >> shift) & ((1 << prev_sig) - 1)
-                pay_l[i] = prev_sig
-            else:
-                ctrl_v[i], ctrl_l[i] = 0b11, 2
-                hdr_v[i] = (li << 6) | (si & 0x3F)  # 5b leading + 6b (len mod 64)
-                hdr_l[i] = 11
-                pay_v[i] = (x >> ti) & ((1 << si) - 1) if si < 64 else x
-                pay_l[i] = si
-                prev_lz, prev_sig = li, si
+    # paper-faithful sequential window-reuse chain
+    prev_lz, prev_sig = -1, -1
+    lz_l, tz_l, sig_l, xors_l = lz.tolist(), tz.tolist(), sig.tolist(), xors.tolist()
+    for i in range(m):
+        x = xors_l[i]
+        if x == 0:
+            ctrl_v[i], ctrl_l[i] = 0, 1
+            continue
+        li, ti, si = lz_l[i], tz_l[i], sig_l[i]
+        if (
+            prev_lz >= 0
+            and prev_sig > 0
+            and li >= prev_lz
+            and ti >= 64 - prev_lz - prev_sig
+        ):
+            ctrl_v[i], ctrl_l[i] = 0b10, 2
+            shift = 64 - prev_lz - prev_sig
+            pay_v[i] = (x >> shift) & ((1 << prev_sig) - 1)
+            pay_l[i] = prev_sig
+        else:
+            ctrl_v[i], ctrl_l[i] = 0b11, 2
+            hdr_v[i] = (li << 6) | (si & 0x3F)  # 5b leading + 6b (len mod 64)
+            hdr_l[i] = 11
+            pay_v[i] = (x >> ti) & ((1 << si) - 1) if si < 64 else x
+            pay_l[i] = si
+            prev_lz, prev_sig = li, si
     inter = np.empty(3 * m + 1, np.uint64)
     inter_l = np.empty(3 * m + 1, np.int64)
     inter[0], inter_l[0] = v[0], 64

@@ -77,36 +77,9 @@ def gapfill_ts(df: DataFrame) -> DataFrame:
     )
 
 
-GAPFILL_ORACLE_SQL_TEMPLATE = """
--- DuckDB rendering of the same exact integer linear interpolation,
--- for oracle comparison (see __spark_entry__.oracle_sql()).
-WITH base AS (
-    SELECT *, epoch_us({ts}) AS us FROM {table}
-), marked AS (
-    SELECT *,
-        last_value(CASE WHEN us IS NOT NULL THEN {idx} END IGNORE NULLS)
-            OVER (PARTITION BY {key} ORDER BY {idx}
-                  ROWS UNBOUNDED PRECEDING) AS prev_i,
-        last_value(CASE WHEN us IS NOT NULL THEN us END IGNORE NULLS)
-            OVER (PARTITION BY {key} ORDER BY {idx}
-                  ROWS UNBOUNDED PRECEDING) AS prev_us,
-        first_value(CASE WHEN us IS NOT NULL THEN {idx} END IGNORE NULLS)
-            OVER (PARTITION BY {key} ORDER BY {idx}
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i,
-        first_value(CASE WHEN us IS NOT NULL THEN us END IGNORE NULLS)
-            OVER (PARTITION BY {key} ORDER BY {idx}
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
-    FROM base
-)
-SELECT {key}, {idx},
-    make_timestamp(
-        CASE
-            WHEN us IS NOT NULL THEN us
-            WHEN prev_us IS NOT NULL AND next_us IS NOT NULL AND next_i <> prev_i
-                THEN prev_us + ((next_us - prev_us) * ({idx} - prev_i)) // (next_i - prev_i)
-            ELSE coalesce(prev_us, next_us)
-        END
-    ) AS ts_filled,
-    (us IS NULL) AS gapfilled
-FROM marked
-"""
+# The DuckDB oracle SQL for gap-fill lives inline in
+# queries_ts._SQL_CASCADE_FILLED / SQL_GAPFILL_LINEAR (the forms the
+# driver actually runs); an earlier template here drifted from the
+# engine's gapfilled definition on all-null conversations and was
+# removed rather than fixed (review finding: dead code with divergent
+# semantics is worse than no code).

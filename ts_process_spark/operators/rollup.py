@@ -42,7 +42,6 @@ Execution shape (what survives a 1000-executor, 10^12-turn run):
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -140,12 +139,17 @@ def rollup_raw_to_1m(raw: DataFrame, hash_name: str = "xxhash64") -> DataFrame:
     tests/test_rollup.py::test_generator_matches_oracle_frame).
     """
     hfn = _hash_fn(hash_name)
+    # NULL text normalizes to '' AT THE OPERATOR (not just in callers):
+    # otherwise the turn stays in n_turns but drops out of sum/peak,
+    # sum_text_len can go NULL against the non-null tier schema, and a
+    # None text_len reaches the Gorilla blob as NaN (review finding)
+    text = F.coalesce(F.col("text"), F.lit(""))
     slim = raw.select(
         "conv_id",
         "turn_idx",
         "ts",
-        F.length("text").cast("long").alias("text_len"),
-        hfn(F.col("text")).alias("th"),
+        F.length(text).cast("long").alias("text_len"),
+        hfn(text).alias("th"),
     )
     filled = gapfill_ts(slim).where(F.col("ts_filled").isNotNull())
     pts = filled.select(
@@ -236,6 +240,11 @@ def rollup_cascade(
                 )
             )
         ).alias("children"),
+        *(
+            [F.sum("blob_chunks_dropped").alias("_child_dropped")]
+            if "blob_chunks_dropped" in child.columns
+            else []
+        ),
     )
     children = F.col("children")
     if max_blob_bytes is not None:
@@ -252,15 +261,29 @@ def rollup_cascade(
             )
             <= F.lit(max_blob_bytes),
         )
-        dropped = [
-            (F.size(children) - F.size(kept)).cast("long").alias(
-                "blob_chunks_dropped"
-            )
-        ]
+        own_dropped = (F.size(children) - F.size(kept)).cast("long")
         blob_src = kept
     else:
-        dropped = []
+        own_dropped = None
         blob_src = children
+    # no-silent-caps, transitively: a capped child tier's drop counter
+    # must survive further cascading — sum the child column (counted in
+    # that level's immediate-child units) into this row's counter
+    has_child_drops = "blob_chunks_dropped" in child.columns
+    if own_dropped is not None or has_child_drops:
+        parts = []
+        if own_dropped is not None:
+            parts.append(own_dropped)
+        if has_child_drops:
+            parts.append(
+                F.coalesce(F.col("_child_dropped"), F.lit(0).cast("long"))
+            )
+        total = parts[0]
+        for x in parts[1:]:
+            total = total + x
+        dropped = [total.alias("blob_chunks_dropped")]
+    else:
+        dropped = []
     return grouped.select(
         "conv_id",
         "bucket_ts",

@@ -53,12 +53,22 @@ def value_hash(df: DataFrame, cols: list[str]) -> int:
     """Order-independent content hash: bit-xor fold of per-row xxhash64
     over the checked columns (blob columns excluded — codec
     correctness is tested separately, SURVEY §7.4.5)."""
+    return count_and_hash(df, cols)[1]
+
+
+def count_and_hash(df: DataFrame, cols: list[str]) -> tuple[int, int]:
+    """(row count, value_hash) in ONE aggregation job — the commit and
+    verify paths each need both, and two separate actions doubled the
+    post-write read cost per unit (review finding)."""
     row = (
         df.select(F.xxhash64(*cols).alias("h"))
-        .agg(F.expr("coalesce(bit_xor(h), 0)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("coalesce(bit_xor(h), 0)").alias("x"),
+        )
         .first()
     )
-    return int(row["x"])
+    return int(row["n"]), int(row["x"])
 
 
 HASH_COLS = [
@@ -158,8 +168,12 @@ def backfill(
             if key in done:
                 with lock:
                     counts["skipped"] += 1
-                # the next tier reads the committed partition
-                child = spark.read.parquet(tables.partition_dir(tier, bucket_id))
+                # defer the committed-partition reader: on a fully
+                # committed resume nothing consumes it, and eager
+                # spark.read.parquet per tier issued n_buckets*3 footer
+                # reads for discarded DataFrames (review finding)
+                child = None
+                child_dir = tables.partition_dir(tier, bucket_id)
                 continue
             if max_units is not None and counts["committed"] >= max_units:
                 return False
@@ -168,6 +182,8 @@ def backfill(
                 out = rollup_raw_to_1m(src)
                 rows_in = src.count()
             else:
+                if child is None:  # previous tier was a skipped commit
+                    child = spark.read.parquet(child_dir)
                 out = rollup_cascade(child, tier)
                 rows_in = child.count()
             out = out.sortWithinPartitions("conv_id", "bucket_ts")
@@ -179,13 +195,14 @@ def backfill(
                 counts["crashed"] = True
                 return False
             written = spark.read.parquet(pdir)
+            rows_out, vhash = count_and_hash(written, HASH_COLS)
             rec = {
                 "run_id": run_id,
                 "tier": tier,
                 "bucket_id": bucket_id,
                 "rows_in": rows_in,
-                "rows_out": written.count(),
-                "value_hash": value_hash(written, HASH_COLS),
+                "rows_out": rows_out,
+                "value_hash": vhash,
                 "started_at": started,
                 "committed_at": time.time(),
             }
@@ -213,9 +230,9 @@ def verify_lineage(spark: SparkSession, tables: TableSet) -> list[str]:
     problems = []
     for rec in tables.read_lineage():
         pdir = tables.partition_dir(rec["tier"], rec["bucket_id"])
-        df = spark.read.parquet(pdir)
-        if df.count() != rec["rows_out"]:
+        n, vhash = count_and_hash(spark.read.parquet(pdir), HASH_COLS)
+        if n != rec["rows_out"]:
             problems.append(f"{rec['tier']}/{rec['bucket_id']}: rowcount drift")
-        elif value_hash(df, HASH_COLS) != rec["value_hash"]:
+        elif vhash != rec["value_hash"]:
             problems.append(f"{rec['tier']}/{rec['bucket_id']}: value hash drift")
     return problems
