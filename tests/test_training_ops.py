@@ -780,3 +780,18 @@ def test_pq_encode_arrow_matches_hof_path(spark):
         for r in similarity.pq_encode(emb, m=8, n_codes=16).collect()
     }
     assert arrow == hof
+    # hostile fixture: zero-norm vectors must be excluded by BOTH paths
+    # (the arrow path once encoded them — review finding)
+    adv = spark.read.parquet("/root/testdata_adv/embeddings.parquet")
+    cba = similarity.pq_train(adv, n_codes=16)
+    a2 = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode_arrow(adv, cba, m=8).collect()
+    }
+    h2 = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(adv, m=8, n_codes=16).collect()
+    }
+    assert a2 == h2
+    n_all = adv.count()
+    assert len(a2) < n_all  # the zero-norm rows are really excluded

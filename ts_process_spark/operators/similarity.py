@@ -399,6 +399,55 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------- product quantization
 
 
+def _pq_codebook_row(base: DataFrame, n_codes: int) -> DataFrame:
+    """ONE-row DataFrame carrying the deterministic PQ codebook (the
+    n_codes lowest-id quantized vectors as array<array<long>>) — the
+    single source the HOF encoders, the ADC lookup tables, and pq_train
+    all derive from (one copy of the convention, like the codec batch
+    twins)."""
+    return (
+        base.orderBy("id")
+        .limit(n_codes)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
+        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
+    )
+
+
+def _pq_subdist(ds: int):
+    """Shared subspace squared-L2 builder: subdist(vec, c, j) between
+    vec's j-th ds-dim slice and codeword c's — exact int64."""
+
+    def subdist(vec: Column, c: int, j: int) -> Column:
+        a = F.slice(vec, j * ds + 1, ds)
+        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    return subdist
+
+
+def _pq_check(dim: int, m: int) -> int:
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return dim // m
+
+
+def _pq_adist(m: int) -> Column:
+    """Σ_j lut[j][codes[j]] — the ADC distance (over lut/codes cols)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), (j + 1).cast("int")),
+            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+        ),
+    )
+
+
 def pq_encode(
     df: DataFrame,
     m: int = 8,
@@ -423,32 +472,16 @@ def pq_encode(
     100 TB ANN state fit a cluster).
 
     Output: (id, q, nq, codes array<int> length m)."""
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    ds = dim // m
+    ds = _pq_check(dim, m)
     base = cosine_base(df, id_col, vec_col)
-    cbrow = (
-        base.orderBy("id")
-        .limit(n_codes)
-        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
-        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
-    )
-
-    def subdist(vec: Column, c: int, j: int) -> Column:
-        a = F.slice(vec, j * ds + 1, ds)
-        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
+    subdist = _pq_subdist(ds)
 
     def code(j: int) -> Column:
         darr = F.array(*[subdist(F.col("q"), c, j) for c in range(n_codes)])
         return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
     return (
-        base.crossJoin(F.broadcast(cbrow))
+        base.crossJoin(F.broadcast(_pq_codebook_row(base, n_codes)))
         .select(
             "id", "q", "nq",
             F.array(*[code(j) for j in range(m)]).alias("codes"),
@@ -474,31 +507,15 @@ def pq_ann_topk(
     the corpus side carries only the m-int codes, so the scored stream
     is O(corpus × queries) tiny rows.  At real scale this composes with
     ivf_cell_assignments (probe nprobe cells, then ADC-score only those
-    cells' codes).  Ties → lowest neighbor id; exact for query vectors
-    that are themselves codewords."""
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    ds = dim // m
+    cells' codes — ivfpq_ann_topk).  Ties → lowest neighbor id; exact
+    for query vectors that are themselves codewords."""
+    ds = _pq_check(dim, m)
     from pyspark.sql import Window
 
     enc = pq_encode(df, m, n_codes, dim, id_col, vec_col)
     base = cosine_base(df, id_col, vec_col)
-    cbrow = (
-        base.orderBy("id")
-        .limit(n_codes)
-        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
-        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
-    )
-
-    def subdist(vec: Column, c: int, j: int) -> Column:
-        a = F.slice(vec, j * ds + 1, ds)
-        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
-
+    cbrow = _pq_codebook_row(base, n_codes)
+    subdist = _pq_subdist(ds)
     queries = (
         base.orderBy("id")
         .limit(n_queries)
@@ -511,21 +528,12 @@ def pq_ann_topk(
             ]).alias("lut"),
         )
     )
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), (j + 1).cast("int")),
-            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
     scored = enc.join(
         F.broadcast(queries), F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        adist.alias("approx_d2"),
+        _pq_adist(m).alias("approx_d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id")
@@ -557,7 +565,9 @@ def ivfpq_ann_topk(
     Scale shape: ONE map-side pass (two broadcast codebooks) attaches
     (cell_id, codes) to every vector — the corpus never shuffles and
     its search-time footprint is one small int + m codes per vector;
-    queries ship with their per-probed-cell ADC lookup tables; the
+    each query's ADC lookup table is computed ONCE and joined onto its
+    probe pairs (it is independent of cell_id — computing it per probed
+    cell was nprobe× wasted compute and broadcast, review finding); the
     scored stream is O(corpus × queries × nprobe/n_cells) tiny rows
     into one per-query top-k window.  Deterministic end to end
     (quantized arithmetic, id tie-breaks).
@@ -566,29 +576,15 @@ def ivfpq_ann_topk(
     higher-order array functions, which are NOT whole-stage-codegen'd
     (interpreted per element) — exactness and plan shape over raw
     speed.  A throughput-bound deployment would swap the encode stage
-    for an Arrow-batched NumPy kernel (same int64 math, same codes);
-    the join/topk scaffolding — the distributed part — is unchanged."""
+    for pq_encode_arrow (same int64 math, bit-identical codes); the
+    join/topk scaffolding — the distributed part — is unchanged."""
+    ds = _pq_check(dim, m)
     from pyspark.sql import Window
 
     assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
-    # attach PQ codes in the same lineage (broadcast codebook, map-side)
-    ds = dim // m
     base = cosine_base(df, id_col, vec_col)
-    cbrow = (
-        base.orderBy("id")
-        .limit(n_codes)
-        .agg(F.array_sort(F.collect_list(F.struct("id", "q"))).alias("cs"))
-        .select(F.transform("cs", lambda s: s["q"]).alias("cws"))
-    )
-
-    def subdist(vec: Column, c: int, j: int) -> Column:
-        a = F.slice(vec, j * ds + 1, ds)
-        b = F.slice(F.element_at(F.col("cws"), c + 1), j * ds + 1, ds)
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
+    cbrow = _pq_codebook_row(base, n_codes)
+    subdist = _pq_subdist(ds)
 
     def code(j: int) -> Column:
         darr = F.array(*[subdist(F.col("q"), c, j) for c in range(n_codes)])
@@ -597,8 +593,6 @@ def ivfpq_ann_topk(
     corpus = assigned.crossJoin(F.broadcast(cbrow)).select(
         "id", "cell_id", F.array(*[code(j) for j in range(m)]).alias("codes")
     )
-    # queries: nprobe best cells (by quantized cosine to the coarse
-    # centroids) + the PQ lookup table, both broadcast
     cells = base.orderBy("id").limit(n_cells).select(
         F.col("id").alias("cell_id"), F.col("q").alias("cv"),
         F.col("nq").alias("ncv"),
@@ -613,7 +607,7 @@ def ivfpq_ann_topk(
     probes = (
         queries.join(F.broadcast(cells))
         .select(
-            "query_id", "qv", "cell_id",
+            "query_id", "cell_id",
             F.round(
                 cosine_qn(F.col("qv"), F.col("cv"), F.col("nqv"), F.col("ncv")),
                 6,
@@ -621,31 +615,25 @@ def ivfpq_ann_topk(
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cell_id")
+        .select("query_id", "cell_id")
     )
-    qlut = probes.crossJoin(F.broadcast(cbrow)).select(
-        "query_id",
-        "cell_id",
-        F.array(*[
-            F.array(*[subdist(F.col("qv"), c, j) for c in range(n_codes)])
-            for j in range(m)
-        ]).alias("lut"),
+    qlut = (
+        queries.crossJoin(F.broadcast(cbrow))
+        .select(
+            "query_id",
+            F.array(*[
+                F.array(*[subdist(F.col("qv"), c, j) for c in range(n_codes)])
+                for j in range(m)
+            ]).alias("lut"),
+        )
     )
-    adist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), (j + 1).cast("int")),
-            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-        ),
-    )
-    scored = corpus.join(F.broadcast(qlut), "cell_id").where(
+    probe_lut = probes.join(F.broadcast(qlut), "query_id")
+    scored = corpus.join(F.broadcast(probe_lut), "cell_id").where(
         F.col("id") != F.col("query_id")
     ).select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        adist.alias("approx_d2"),
+        _pq_adist(m).alias("approx_d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_d2").asc(), F.col("neighbor_id")
@@ -681,20 +669,22 @@ def pq_encode_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Throughput-path PQ encoder: the SAME int64 math as pq_encode
-    (quantize → per-subspace squared-L2 argmin, first-min tie) run as
-    one vectorized NumPy kernel per Arrow batch instead of interpreted
-    array HOFs — bit-identical codes (pytest-pinned), ~interpreter-free.
-    Map-side only: the codebook rides the task closure, the corpus never
-    shuffles.  Quantization uses HALF_UP (floor(|x|+0.5)·sign) to match
-    Spark's F.round exactly, not np.round's banker's rounding."""
+    """Throughput-path PQ encoder: one vectorized NumPy kernel per
+    Arrow batch instead of interpreted array HOFs — BIT-IDENTICAL codes
+    to pq_encode.
+
+    Exactness and parity by construction: the input rides through
+    cosine_base, so QUANTIZATION HAPPENS IN THE JVM with the exact same
+    F.round the HOF path uses (an earlier NumPy HALF_UP emulation could
+    differ within ulp/2 of a .5 boundary — review finding), zero-norm
+    and NULL vectors are excluded by the same predicate, and the
+    single-file-corpus parallelism floor applies.  The kernel then only
+    reshapes int64s and argmins — no float rounding anywhere."""
     import pandas as pd
     from pyspark.sql import types as T
 
     n_codes, dim = codebook.shape
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    ds = dim // m
+    ds = _pq_check(dim, m)
     sub_cb = np.ascontiguousarray(codebook.reshape(n_codes, m, ds))
     schema = T.StructType(
         [
@@ -707,10 +697,7 @@ def pq_encode_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            Q = (np.floor(np.abs(X) * 1e6 + 0.5) * np.sign(X)).astype(np.int64)
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
             S = Q.reshape(len(pdf), m, ds)
             # (B, n_codes, m): per-subspace squared L2 to every codeword
             diff = S[:, None, :, :] - sub_cb[None, :, :, :]
@@ -718,11 +705,11 @@ def pq_encode_arrow(
             codes = d.argmin(axis=1).astype(np.int32)  # first-min ties
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].astype("int64"),
+                    "id": pdf["id"].astype("int64"),
                     "codes": [list(c) for c in codes],
                 }
             )
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return cosine_base(df, id_col, vec_col).select("id", "q").mapInPandas(
         run, schema=schema
     )

@@ -34,14 +34,19 @@ def stream_raw(spark: SparkSession, path: str) -> DataFrame:
 def stream_rollup_1m(raw: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Windowed streaming aggregate; append output mode (finalized
     windows only)."""
+    # NULL text normalizes to '' exactly like the batch tier
+    # (rollup_raw_to_1m): both paths write the same keys, so they must
+    # agree on NULL-text buckets or the batch compaction overwrites the
+    # streaming row with different values (review finding)
+    tlen = F.length(F.coalesce(F.col("text"), F.lit("")))
     return (
         raw.where(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
         .groupBy("conv_id", F.window("ts", "1 minute").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
-            F.sum(F.length("text")).alias("sum_text_len"),
-            F.max(F.length("text")).alias("peak_text_len"),
+            F.sum(tlen).alias("sum_text_len"),
+            F.max(tlen).alias("peak_text_len"),
             F.min("turn_idx").alias("first_turn_idx"),
             F.max("turn_idx").alias("last_turn_idx"),
         )
