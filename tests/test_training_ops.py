@@ -795,3 +795,47 @@ def test_pq_encode_arrow_matches_hof_path(spark):
     assert a2 == h2
     n_all = adv.count()
     assert len(a2) < n_all  # the zero-norm rows are really excluded
+
+
+def test_bm25_empty_corpus_scores_zero(spark):
+    """ADVICE r4: a corpus where every doc tokenizes empty has avgdl=0;
+    the length norm must floor at (1-b) so scores are 0.0, never NaN."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   \t ")], "doc_id long, text string"
+    )
+    rows = textstats.bm25_scores(docs, ["x", "y"]).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert not math.isnan(r.bm25), r
+        assert r.bm25 == 0.0
+
+
+def test_bm25_idf_quant_tracks_exact(spark):
+    """idf_quant=1e6 (the gate mode) snaps only the idf: scores stay
+    within 2/1e6 relative of the exact-libm path and the per-doc
+    ordering by score is preserved on the fixture."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    terms = ["join", "data", "zyzzyx"]
+    exact = {r["id"]: r.bm25 for r in textstats.bm25_scores(docs, terms).collect()}
+    quant = {
+        r["id"]: r.bm25
+        for r in textstats.bm25_scores(docs, terms, idf_quant=10**6).collect()
+    }
+    assert set(exact) == set(quant)
+    for k in exact:
+        assert abs(exact[k] - quant[k]) <= 2e-6 * max(1.0, abs(exact[k])), k
+
+
+def test_tfidf_quantized_matches_float_ordering(spark):
+    """quantize=1e6 yields int64 scores whose per-doc term ranking
+    matches the float path on the fixture (vocab idf gaps >> 1e-6)."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    f5 = {r["id"]: list(r.terms) for r in textstats.tfidf_top_terms(docs, top_k=5).collect()}
+    q5raw = textstats.tfidf_top_terms(docs, top_k=5, quantize=10**6).collect()
+    q5 = {r["id"]: list(r.terms) for r in q5raw}
+    assert f5 == q5
+    assert all(isinstance(s, int) for r in q5raw for s in r.scores)

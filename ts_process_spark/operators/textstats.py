@@ -149,6 +149,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf_quant: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document against a small fixed
     query-term list — the standard retrieval/curation scorer (published
@@ -162,6 +163,19 @@ def bm25_scores(
     total cost at 100 TB = two corpus scans, zero exchanges of corpus
     data.  Query terms are compile-time literals, so Catalyst folds the
     per-term expressions into the same whole-stage-codegen projection.
+
+    ``idf_quant``: when set (e.g. 10**6), each term's idf — the ONLY
+    transcendental in the formula — is snapped to a 1/idf_quant grid
+    before use.  Every other op (+,−,×,÷, casts) is exact IEEE-754, so
+    the whole score becomes bit-reproducible across engines whose only
+    divergence is ≤1-ulp libm logs: the oracle replays the identical op
+    tree and hashes clean under the driver's dtype-strict gate.  The
+    snap perturbs each score by <2/idf_quant relative — retrieval
+    ordering is unaffected at 1e-6 resolution.
+
+    A corpus where every document is empty has avgdl = 0; the length
+    norm degrades to its (1 − b) floor instead of emitting 0/0 = NaN
+    for every score.
 
     Output: (id, doc_len, tf_0..tf_{T-1}, bm25)."""
     if not query_terms:
@@ -188,19 +202,23 @@ def bm25_scores(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("_sum_dl") / F.col("_n_docs")
+    n_d = F.col("_n_docs").cast("double")
+    avgdl = F.col("_sum_dl").cast("double") / n_d
+    lennorm = F.when(
+        F.col("_sum_dl") > 0,
+        (1.0 - b) + b * (F.col("doc_len").cast("double") / avgdl),
+    ).otherwise(F.lit(1.0 - b))
     score = F.lit(0.0)
     for i in range(len(query_terms)):
-        idf = F.log(
-            1.0
-            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5)
-            / (F.col(f"_df_{i}") + 0.5)
-        )
-        tf = F.col(f"tf_{i}")
-        score = score + idf * (
-            tf * (k1 + 1.0)
-            / (tf + k1 * (1.0 - b + b * F.col("doc_len") / avgdl))
-        )
+        df_d = F.col(f"_df_{i}").cast("double")
+        idf = F.log(1.0 + ((n_d - df_d) + 0.5) / (df_d + 0.5))
+        if idf_quant is not None:
+            idf = (
+                F.round(idf * float(idf_quant)).cast("long").cast("double")
+                / float(idf_quant)
+            )
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + idf * ((tf * (k1 + 1.0)) / (tf + k1 * lennorm))
     return scored.select(
         "id",
         "doc_len",
@@ -215,6 +233,7 @@ def tfidf_top_terms(
     min_df: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-document top-k terms by tf·idf (idf = ln(N/df), smooth-free
     textbook form; ties broken by term asc for determinism).
@@ -223,7 +242,14 @@ def tfidf_top_terms(
     term-keyed df aggregate (partial-combined, shuffle O(vocab)) joined
     back, then a per-doc top-k via array sort of collected (score,
     term) structs — shuffle O(doc × distinct-terms), never O(tokens).
-    Output: (id, terms array<string>, scores array<double>)."""
+
+    ``quantize``: when set, the score is the EXACT int64
+    tf · round(ln(N/df)·quantize) — idf (the only transcendental) snaps
+    to a grid, everything after is integer arithmetic, so scores and the
+    (−score, term) ordering are bit-reproducible cross-engine for the
+    dtype-strict oracle gate; ``scores`` becomes array<long>.
+
+    Output: (id, terms array<string>, scores array<double|long>)."""
     toks = tokens(F.col(text_col))
     ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
     tf = ex.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
@@ -236,14 +262,18 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") >= min_df)
     )
+    if quantize is None:
+        s = F.col("tf") * F.log(F.col("_n") / F.col("df"))
+    else:
+        lnq = F.round(
+            F.log(F.col("_n").cast("double") / F.col("df").cast("double"))
+            * float(quantize)
+        ).cast("long")
+        s = F.col("tf") * lnq  # long × long — exact
     scored = (
         tf.join(dfreq, "w")
         .crossJoin(F.broadcast(nd))
-        .select(
-            "id",
-            "w",
-            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("s"),
-        )
+        .select("id", "w", s.alias("s"))
     )
     # top-k: collect per doc, sort by (-score, term), slice — the
     # per-doc distinct-term count is bounded by doc length, so the

@@ -743,6 +743,168 @@ FROM agg
 """
 
 
+# ------------------------------------------- relevance scoring (gate)
+#
+# BM25 / tf·idf carry ONE transcendental each (ln); both gate queries
+# snap it to a 1e-6 grid (idf_quant / quantize) and keep every other op
+# exact IEEE — the oracle replays the identical op tree with float
+# literals embedded via queries_signals._dlit (mantissa·2^exp; DuckDB's
+# decimal parse is 1 ulp off on some values), so the dtype-strict hash
+# is clean by construction.  Residual risk: a ≤1-ulp libm-log divergence
+# landing within ~1e-15·1e6 of a grid boundary — O(1e-9) per distinct
+# df value, and the fixture vocabulary is ~40 terms.
+
+_BM25_TERMS = ("join", "data", "zyzzyx")  # high-df, mid-df, absent
+_BM25_Q = 10**6
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 over the corpus for a fixed 3-term query — the
+    retrieval/curation scorer of the training-data pipeline, value-
+    checked end to end (tf extraction, corpus stats broadcast, scoring)."""
+    return textstats.bm25_scores(
+        _docs(spark, sf_dir), list(_BM25_TERMS), idf_quant=_BM25_Q
+    )
+
+
+def _sql_doc_bm25() -> str:
+    from ts_process_spark.queries_signals import _dlit
+
+    k1, b = 1.2, 0.75
+    lit_k1, lit_k1p1 = _dlit(k1), _dlit(k1 + 1.0)
+    lit_b, lit_1mb, lit_h = _dlit(b), _dlit(1.0 - b), _dlit(0.5)
+    lit_q = _dlit(float(_BM25_Q))
+    tf_cols = ",\n           ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    lennorm = (
+        f"CASE WHEN s.sum_dl > 0 THEN ({lit_1mb} + ({lit_b} * "
+        f"(CAST(b.doc_len AS DOUBLE) / (CAST(s.sum_dl AS DOUBLE) / "
+        f"CAST(s.n AS DOUBLE))))) ELSE {lit_1mb} END"
+    )
+    score = "(0.0::DOUBLE)"
+    for i in range(len(_BM25_TERMS)):
+        idf = (
+            f"(CAST(CAST(round(ln(1.0::DOUBLE + (((CAST(s.n AS DOUBLE) - "
+            f"CAST(s.df_{i} AS DOUBLE)) + {lit_h}) / (CAST(s.df_{i} AS DOUBLE)"
+            f" + {lit_h}))) * {lit_q}) AS BIGINT) AS DOUBLE) / {lit_q})"
+        )
+        term = (
+            f"({idf} * ((CAST(b.tf_{i} AS DOUBLE) * {lit_k1p1}) / "
+            f"(CAST(b.tf_{i} AS DOUBLE) + ({lit_k1} * {lennorm}))))"
+        )
+        score = f"({score} + {term})"
+    return f"""
+WITH w0 AS (
+    SELECT doc_id AS id, {_WORDS_SQL} AS w FROM documents
+), b AS (
+    SELECT id, CAST(len(w) AS BIGINT) AS doc_len,
+           {tf_cols}
+    FROM w0
+), s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_len) AS BIGINT) AS sum_dl,
+           {df_cols}
+    FROM b
+)
+SELECT b.id, b.doc_len, b.tf_0, b.tf_1, b.tf_2, {score} AS bm25
+FROM b, s
+"""
+
+
+def q_doc_tfidf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by tf·idf (quantized-idf exact-int64
+    scores), flattened to (id, rk, term, score_e6) rows so the gate
+    hashes scalars, not arrays."""
+    t = textstats.tfidf_top_terms(
+        _docs(spark, sf_dir), top_k=5, quantize=_BM25_Q
+    )
+    z = t.select("id", F.posexplode(F.arrays_zip("terms", "scores")))
+    return z.select(
+        "id",
+        (F.col("pos") + 1).cast("long").alias("rk"),
+        F.col("col.terms").alias("term"),
+        F.col("col.scores").alias("score_e6"),
+    )
+
+
+SQL_DOC_TFIDF_TOP5 = f"""
+WITH ex AS (
+    SELECT doc_id AS id, unnest({_WORDS_SQL}) AS w FROM documents
+), tf AS (
+    SELECT id, w, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2
+), d AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+    SELECT tf.id, tf.w,
+           tf.tf * CAST(round(ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE))
+                              * 1000000.0::DOUBLE) AS BIGINT) AS s
+    FROM tf JOIN d USING (w), n
+), r AS (
+    SELECT id, w, s,
+           row_number() OVER (PARTITION BY id ORDER BY s DESC, w ASC) AS rk
+    FROM s
+)
+SELECT id, rk, w AS term, s AS score_e6 FROM r WHERE rk <= 5
+"""
+
+
+def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-3 (m=8 subspaces, 16 codewords) — the
+    memory-compressed ANN path; every distance is exact int64 so the
+    oracle is hash-exact with no float caveats at all."""
+    return similarity.pq_ann_topk(
+        _embs(spark, sf_dir), k=3, m=8, n_codes=16, n_queries=10
+    )
+
+
+# ds = dim/m = 8; j = k // 8 maps element index → subspace.  Encoding
+# tie-break (lowest code) and ADC top-k tie-break (lowest neighbor id)
+# mirror pq_encode / pq_ann_topk exactly.
+SQL_EMB_PQ_ANN = f"""
+WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
+cb AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS code, q AS cv
+    FROM (SELECT id, q FROM e ORDER BY id LIMIT 16)
+),
+ex AS (SELECT id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS k FROM e),
+cx AS (SELECT code, unnest(cv) AS c, generate_subscripts(cv, 1) - 1 AS k
+       FROM cb),
+sub AS (
+    SELECT ex.id, cx.code, ex.k // 8 AS j,
+           CAST(sum((ex.x - cx.c) * (ex.x - cx.c)) AS BIGINT) AS d
+    FROM ex JOIN cx USING (k) GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT id, j, code FROM (
+        SELECT id, j, code, row_number() OVER (
+            PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
+        FROM sub
+    ) WHERE rn = 1
+),
+qs AS (SELECT id AS query_id FROM e ORDER BY id LIMIT 10),
+lut AS (SELECT s.* FROM sub s JOIN qs ON s.id = qs.query_id),
+scored AS (
+    SELECT l.id AS query_id, c.id AS neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS approx_d2
+    FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code AND c.id <> l.id
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d2 ASC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
 def queries_docs() -> dict[str, object]:
     """Driver registry (docs/embeddings slice).
 
@@ -764,9 +926,12 @@ def queries_docs() -> dict[str, object]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
+        "doc_bm25": q_doc_bm25,
+        "doc_tfidf_top5": q_doc_tfidf_top5,
         "emb_knn": q_emb_knn,
         "emb_srp_ann": q_emb_srp_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
+        "emb_pq_ann": q_emb_pq_ann,
         "emb_centroids": q_emb_centroids,
         "emb_neardup": q_emb_neardup,
         "multimodal_features": q_multimodal_features,
@@ -785,9 +950,12 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_langid": _langid_sql(),
+        "doc_bm25": _sql_doc_bm25(),
+        "doc_tfidf_top5": SQL_DOC_TFIDF_TOP5,
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_ivf_ann": _sql_emb_ivf_ann(),
+        "emb_pq_ann": SQL_EMB_PQ_ANN,
         "emb_centroids": SQL_EMB_CENTROIDS,
         "emb_neardup": _sql_emb_neardup(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

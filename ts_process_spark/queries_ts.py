@@ -1389,9 +1389,13 @@ def queries_ts() -> dict[str, object]:
         "pricing_summary": q_pricing_summary,
         "revenue_forecast": q_revenue_forecast,
         "top3_per_supplier": q_top3_per_supplier,
-        "haversine": q_haversine,
-        "unit_scale": q_unit_scale,
-        "json_props": q_json_props,
+        # haversine / unit_scale / json_props rotated OUT of the 50-slot
+        # gate in round 5 (VERDICT r4 #1): pure scalar expressions whose
+        # operators also ride inside green queries (rotmax_scan,
+        # cascade_*, window_kernels) — their slots now value-check the
+        # training-pipeline ops doc_bm25 / doc_tfidf_top5 / emb_pq_ann
+        # (queries_docs.py).  The queries + oracles stay below, pinned
+        # by tests/test_rotated_out_slots.py.
         "set_ops": q_set_ops,
         "cube_counts": q_cube_counts,
         "pivot_types": q_pivot_types,
@@ -1421,9 +1425,6 @@ def oracles_ts() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "revenue_forecast": SQL_REVENUE_FORECAST,
         "top3_per_supplier": SQL_TOP3_PER_SUPPLIER,
-        "haversine": SQL_HAVERSINE,
-        "unit_scale": SQL_UNIT_SCALE,
-        "json_props": SQL_JSON_PROPS,
         "set_ops": SQL_SET_OPS,
         "cube_counts": SQL_CUBE_COUNTS,
         "pivot_types": SQL_PIVOT_TYPES,
