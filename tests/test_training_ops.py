@@ -839,3 +839,98 @@ def test_tfidf_quantized_matches_float_ordering(spark):
     q5 = {r["id"]: list(r.terms) for r in q5raw}
     assert f5 == q5
     assert all(isinstance(s, int) for r in q5raw for s in r.scores)
+
+
+def test_pq_kmeans_trains_reproducibly_and_improves(spark):
+    """pq_train_kmeans (VERDICT r4 #2): (a) bit-identical codebooks
+    across runs AND across input partitionings (the two-cluster-size
+    stand-in — exact int sums are partition-invariant); (b) strictly
+    lower quantization SSE than the first-N init; (c) ADC top-k recall
+    vs exact quantized-L2 ≥ the first-N baseline; (d) the Arrow and HOF
+    encoders agree under the trained codebook too."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    m, n_codes, ds = 8, 16, 8
+    cb0 = similarity.pq_train(emb, n_codes)
+    cb1 = similarity.pq_train_kmeans(emb, m=m, n_codes=n_codes, n_iters=3)
+    cb1b = similarity.pq_train_kmeans(
+        emb.repartition(13), m=m, n_codes=n_codes, n_iters=3
+    )
+    assert cb1.shape == cb0.shape and (cb1 == cb1b).all()
+    assert (cb1 != cb0).any()  # training actually moved the codebook
+
+    base = similarity.cosine_base(emb, "vec_id", "embedding")
+    rows = base.select("id", "q").collect()
+    ids = np.array([r["id"] for r in rows])
+    Q = np.stack([np.asarray(r["q"], dtype=np.int64) for r in rows])
+
+    def sse(cb):
+        S = Q.reshape(len(Q), m, ds)
+        sub = cb.reshape(n_codes, m, ds)
+        d = np.einsum(
+            "bcjk,bcjk->bcj",
+            S[:, None] - sub[None],
+            S[:, None] - sub[None],
+        )
+        return int(d.min(axis=1).sum())
+
+    assert sse(cb1) < sse(cb0), (sse(cb1), sse(cb0))
+
+    # exact quantized-L2 top-10 ground truth for the 50 lowest-id
+    # queries (8×5 was too small a sample: recall estimates swung ±0.05
+    # run-to-run; 50×10 separates the codebooks cleanly — measured
+    # first-N 0.234 vs trained 0.28+ at every iteration count)
+    order = np.argsort(ids)
+    ids_s, Q_s = ids[order], Q[order]
+    nq, k = 50, 10
+    truth = {}
+    for qi in range(nq):
+        d2 = ((Q_s - Q_s[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.iinfo(np.int64).max
+        nn = np.lexsort((ids_s, d2))[:k]
+        truth[int(ids_s[qi])] = set(int(ids_s[j]) for j in nn)
+
+    def recall(cb):
+        got = similarity.pq_ann_topk(
+            emb, k=k, m=m, n_codes=n_codes, n_queries=nq, codebook=cb
+        ).collect()
+        hits = sum(
+            1 for r in got if r["neighbor_id"] in truth[r["query_id"]]
+        )
+        return hits / (nq * k)
+
+    r0, r1 = recall(cb0), recall(cb1)
+    assert r1 > r0, (r1, r0)
+
+    # Arrow/HOF encoder parity holds for trained codebooks as well
+    hof = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb, m=m, codebook=cb1).collect()
+    }
+    arrow = {
+        r["id"]: list(r["codes"])
+        for r in similarity.pq_encode_arrow(emb, cb1, m=m).collect()
+    }
+    assert hof == arrow
+
+
+def test_ivf_trained_coarse_codebook(spark):
+    """ivf_ann_topk / ivfpq_ann_topk accept a trained coarse codebook
+    (pq_train_kmeans with m=1 = plain Lloyd on full vectors): k rows
+    per query, deterministic across runs."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    coarse = similarity.pq_train_kmeans(emb, m=1, n_codes=16, n_iters=2)
+    a = similarity.ivf_ann_topk(emb, k=3, n_cells=16, codebook=coarse).collect()
+    b = similarity.ivf_ann_topk(emb, k=3, n_cells=16, codebook=coarse).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    c = similarity.ivfpq_ann_topk(
+        emb, k=3, n_cells=16, nprobe=4, pq_codebook=None, ivf_codebook=coarse
+    ).collect()
+    assert len(c) > 0

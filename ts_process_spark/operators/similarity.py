@@ -124,11 +124,33 @@ def cosine_topk(
     )
 
 
+def _ivf_cells(
+    base: DataFrame, n_cells: int, codebook: "np.ndarray | None"
+) -> DataFrame:
+    """The coarse-quantizer centroid set: first-N corpus vectors by
+    default, or a TRAINED (n_cells × dim) int64 array (pq_train_kmeans
+    with m=1) as plan literals with synthetic cell ids 0..n_cells−1."""
+    if codebook is None:
+        return base.orderBy("id").limit(n_cells).select(
+            F.col("id").alias("cell_id"), F.col("q").alias("cv"),
+            F.col("nq").alias("ncv"),
+        )
+    rows = [
+        (i, [int(v) for v in row]) for i, row in enumerate(codebook)
+    ]
+    return (
+        base.sparkSession.createDataFrame(rows, "cell_id bigint, cv array<bigint>")
+        .withColumn("ncv", dot_long(F.col("cv"), F.col("cv")))
+        .where(F.col("ncv") > 0)
+    )
+
+
 def ivf_cell_assignments(
     df: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF coarse quantizer: the n_cells lowest-id vectors act as the
     (deterministic) codebook; every vector is assigned to the centroid
@@ -137,15 +159,13 @@ def ivf_cell_assignments(
     Scale shape: the codebook is tiny → broadcast nested-loop against
     it is O(n·n_cells) map-side work with NO shuffle of the vectors;
     the argmax is a per-id window over n_cells rows.  At 100 TB the
-    codebook would come from sampled k-means, but assignment — the
-    expensive distributed step — has exactly this plan."""
+    codebook comes from sampled/distributed k-means (pass ``codebook``,
+    e.g. pq_train_kmeans(df, m=1)); assignment — the expensive
+    distributed step — has exactly this plan either way."""
     from pyspark.sql import Window
 
     base = cosine_base(df, id_col, vec_col)
-    cells = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("q").alias("cv"),
-        F.col("nq").alias("ncv"),
-    )
+    cells = _ivf_cells(base, n_cells, codebook)
     scored = base.join(F.broadcast(cells)).select(
         "id", "q", "nq", "cell_id",
         F.round(
@@ -168,6 +188,7 @@ def ivf_ann_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its nprobe best cells
     and brute-forces only vectors assigned there — the inverted-file
@@ -175,12 +196,9 @@ def ivf_ann_topk(
     end to end (quantized cosine, id tie-breaks) → DuckDB-checkable."""
     from pyspark.sql import Window
 
-    assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
+    assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col, codebook)
     base = cosine_base(df, id_col, vec_col)
-    cells = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("q").alias("cv"),
-        F.col("nq").alias("ncv"),
-    )
+    cells = _ivf_cells(base, n_cells, codebook)
     queries = base.orderBy("id").limit(n_queries).select(
         F.col("id").alias("query_id"), F.col("q").alias("qv"),
         F.col("nq").alias("nqv"),
@@ -413,6 +431,16 @@ def _pq_codebook_row(base: DataFrame, n_codes: int) -> DataFrame:
     )
 
 
+def _pq_codebook_row_lit(df: DataFrame, codebook: "np.ndarray") -> DataFrame:
+    """The literal twin of _pq_codebook_row: a TRAINED (n_codes × dim)
+    int64 codebook shipped as a one-row broadcastable DataFrame — the
+    bytes ride in the plan, no scan, no action."""
+    return df.sparkSession.createDataFrame(
+        [([[int(v) for v in row] for row in codebook],)],
+        "cws array<array<bigint>>",
+    )
+
+
 def _pq_subdist(ds: int):
     """Shared subspace squared-L2 builder: subdist(vec, c, j) between
     vec's j-th ds-dim slice and codeword c's — exact int64."""
@@ -455,6 +483,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Product-quantization encoder (Jégou et al., TPAMI 2011): the
     vector splits into ``m`` subspaces of dim/m dims; each sub-vector is
@@ -471,7 +500,12 @@ def pq_encode(
     dim floats to m small ints (the memory-compression story that makes
     100 TB ANN state fit a cluster).
 
+    ``codebook``: a trained (n_codes × dim) int64 array (pq_train_kmeans)
+    replaces the first-N convention; same plan, literal instead of scan.
+
     Output: (id, q, nq, codes array<int> length m)."""
+    if codebook is not None:
+        n_codes, dim = codebook.shape
     ds = _pq_check(dim, m)
     base = cosine_base(df, id_col, vec_col)
     subdist = _pq_subdist(ds)
@@ -480,8 +514,13 @@ def pq_encode(
         darr = F.array(*[subdist(F.col("q"), c, j) for c in range(n_codes)])
         return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
 
+    cbrow = (
+        _pq_codebook_row(base, n_codes)
+        if codebook is None
+        else _pq_codebook_row_lit(df, codebook)
+    )
     return (
-        base.crossJoin(F.broadcast(_pq_codebook_row(base, n_codes)))
+        base.crossJoin(F.broadcast(cbrow))
         .select(
             "id", "q", "nq",
             F.array(*[code(j) for j in range(m)]).alias("codes"),
@@ -498,6 +537,7 @@ def pq_ann_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Approximate top-k nearest neighbors (squared L2, ascending) via
     asymmetric distance computation over PQ codes: each query builds an
@@ -508,13 +548,21 @@ def pq_ann_topk(
     is O(corpus × queries) tiny rows.  At real scale this composes with
     ivf_cell_assignments (probe nprobe cells, then ADC-score only those
     cells' codes — ivfpq_ann_topk).  Ties → lowest neighbor id; exact
-    for query vectors that are themselves codewords."""
+    for query vectors that are themselves codewords.  ``codebook``
+    swaps the first-N convention for a trained array (pq_train_kmeans)
+    in BOTH the encode stage and the ADC lookup tables."""
+    if codebook is not None:
+        n_codes, dim = codebook.shape
     ds = _pq_check(dim, m)
     from pyspark.sql import Window
 
-    enc = pq_encode(df, m, n_codes, dim, id_col, vec_col)
+    enc = pq_encode(df, m, n_codes, dim, id_col, vec_col, codebook=codebook)
     base = cosine_base(df, id_col, vec_col)
-    cbrow = _pq_codebook_row(base, n_codes)
+    cbrow = (
+        _pq_codebook_row(base, n_codes)
+        if codebook is None
+        else _pq_codebook_row_lit(df, codebook)
+    )
     subdist = _pq_subdist(ds)
     queries = (
         base.orderBy("id")
@@ -556,6 +604,8 @@ def ivfpq_ann_topk(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_codebook: "np.ndarray | None" = None,
+    ivf_codebook: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF×PQ — the production ANN composition (FAISS IVFPQ shape):
     the coarse quantizer prunes to each query's ``nprobe`` best cells,
@@ -577,13 +627,23 @@ def ivfpq_ann_topk(
     (interpreted per element) — exactness and plan shape over raw
     speed.  A throughput-bound deployment would swap the encode stage
     for pq_encode_arrow (same int64 math, bit-identical codes); the
-    join/topk scaffolding — the distributed part — is unchanged."""
+    join/topk scaffolding — the distributed part — is unchanged.
+
+    ``pq_codebook`` / ``ivf_codebook`` swap either quantizer's first-N
+    convention for trained arrays (pq_train_kmeans; m=1 for the coarse
+    one) — plan literals, same shapes."""
+    if pq_codebook is not None:
+        n_codes, dim = pq_codebook.shape
     ds = _pq_check(dim, m)
     from pyspark.sql import Window
 
-    assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col)
+    assigned = ivf_cell_assignments(df, n_cells, id_col, vec_col, ivf_codebook)
     base = cosine_base(df, id_col, vec_col)
-    cbrow = _pq_codebook_row(base, n_codes)
+    cbrow = (
+        _pq_codebook_row(base, n_codes)
+        if pq_codebook is None
+        else _pq_codebook_row_lit(df, pq_codebook)
+    )
     subdist = _pq_subdist(ds)
 
     def code(j: int) -> Column:
@@ -593,10 +653,7 @@ def ivfpq_ann_topk(
     corpus = assigned.crossJoin(F.broadcast(cbrow)).select(
         "id", "cell_id", F.array(*[code(j) for j in range(m)]).alias("codes")
     )
-    cells = base.orderBy("id").limit(n_cells).select(
-        F.col("id").alias("cell_id"), F.col("q").alias("cv"),
-        F.col("nq").alias("ncv"),
-    )
+    cells = _ivf_cells(base, n_cells, ivf_codebook)
     queries = base.orderBy("id").limit(n_queries).select(
         F.col("id").alias("query_id"), F.col("q").alias("qv"),
         F.col("nq").alias("nqv"),
@@ -660,6 +717,108 @@ def pq_train(
     rows = base.orderBy("id").limit(n_codes).select("id", "q").collect()
     rows = sorted(rows, key=lambda r: r["id"])
     return np.array([list(r["q"]) for r in rows], dtype=np.int64)
+
+
+def _div_round_half_away(s: "np.ndarray", n: int) -> "np.ndarray":
+    """Exact int64 round-half-away-from-zero of s/n (n > 0) — the
+    centroid update stays on the quantized grid with NO float ops, so
+    training is bit-reproducible on any engine/partitioning."""
+    a = np.abs(s)
+    q = (2 * a + n) // (2 * n)
+    return np.where(s < 0, -q, q).astype(np.int64)
+
+
+def pq_train_kmeans(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Distributed per-subspace Lloyd k-means over the quantized
+    vectors — the trained replacement for pq_train's first-N
+    convention (VERDICT r4 #2; FAISS trains PQ exactly this way:
+    independent k-means per subspace, then the same encode/ADC).
+
+    Determinism (a hard engine requirement): init is the deterministic
+    first-N codebook; the assignment step is the exact int64 argmin the
+    encoders use (first-min = lowest code ties); the update step
+    accumulates exact int64 per-(subspace, code) sums — associative and
+    commutative, so ANY partitioning yields the same totals — and the
+    new centroid is an integer round-half-away division.  No float
+    enters at any point, so two runs (or two cluster sizes) produce
+    bit-identical codebooks.
+
+    Scale shape per iteration: one vectorized Arrow pass over the
+    corpus (the pq_encode_arrow kernel + per-BATCH partial sums — each
+    task emits ≤ m·n_codes rows, a map-side combine in NumPy), one tiny
+    hash-aggregate of those partials, one ≤ m·n_codes-row collect (the
+    k-means driver sync every implementation has).  The corpus never
+    shuffles; traffic per iteration is O(tasks · m · n_codes · ds).
+
+    Returns the (n_codes × dim) int64 codebook whose row c is the
+    concatenation of each subspace's c-th centroid — the layout
+    pq_encode / pq_encode_arrow / the ADC LUTs already consume."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cb = pq_train(df, n_codes, id_col, vec_col)
+    n_codes, dim = cb.shape
+    ds = _pq_check(dim, m)
+    base = cosine_base(df, id_col, vec_col).select("id", "q")
+    schema = T.StructType(
+        [
+            T.StructField("j", T.IntegerType(), False),
+            T.StructField("c", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("s", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    sum_cols = [
+        F.sum(F.element_at("s", d + 1)).alias(f"s_{d}") for d in range(ds)
+    ]
+    for _ in range(n_iters):
+        sub_cb = np.ascontiguousarray(cb.reshape(n_codes, m, ds))
+
+        def part(batches, _cb=sub_cb):
+            cnt = np.zeros((m, n_codes), dtype=np.int64)
+            sums = np.zeros((m, n_codes, ds), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
+                S = Q.reshape(len(pdf), m, ds)
+                diff = S[:, None, :, :] - _cb[None, :, :, :]
+                d = np.einsum("bcjk,bcjk->bcj", diff, diff)
+                codes = d.argmin(axis=1)  # (B, m) first-min ties
+                for j in range(m):
+                    np.add.at(cnt[j], codes[:, j], 1)
+                    np.add.at(sums[j], codes[:, j], S[:, j, :])
+            js, cs = np.nonzero(cnt)
+            if not len(js):
+                return
+            yield pd.DataFrame(
+                {
+                    "j": js.astype(np.int32),
+                    "c": cs.astype(np.int32),
+                    "n": cnt[js, cs],
+                    "s": [list(sums[j, c]) for j, c in zip(js, cs)],
+                }
+            )
+
+        agg = (
+            base.mapInPandas(part, schema=schema)
+            .groupBy("j", "c")
+            .agg(F.sum("n").alias("n"), *sum_cols)
+        )
+        new = cb.reshape(n_codes, m, ds).copy()
+        for r in agg.collect():  # ≤ m·n_codes rows — the Lloyd sync
+            s = np.array([r[f"s_{d}"] for d in range(ds)], dtype=np.int64)
+            new[r["c"], r["j"], :] = _div_round_half_away(s, r["n"])
+        # empty cells keep their previous centroid
+        cb = new.reshape(n_codes, dim)
+    return cb
 
 
 def pq_encode_arrow(
