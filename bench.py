@@ -110,6 +110,16 @@ def main() -> None:
         cascade_secs = sorted(_cascade_once(r) for r in range(3))
         cascade_sec = cascade_secs[1]
         spread_pct = 100.0 * (cascade_secs[-1] - cascade_secs[0]) / cascade_sec
+        if spread_pct > 25.0:
+            # noisy host window (VERDICT r4 #5: r4's spread hit 39%):
+            # escalate to median-of-5 — two more runs tighten the median
+            # against a single outlier while the full series stays in
+            # the report so rounds remain comparable
+            cascade_secs = sorted(cascade_secs + [_cascade_once(r) for r in (3, 4)])
+            cascade_sec = cascade_secs[2]
+            spread_pct = (
+                100.0 * (cascade_secs[-1] - cascade_secs[0]) / cascade_sec
+            )
         turns_per_sec = n_turns / cascade_sec
 
         # ---- registry queries at sf_dir
@@ -176,13 +186,22 @@ def main() -> None:
         from ts_process_spark.operators import similarity
 
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # production (Arrow-encode) PQ paths: pq_train/ivf_train_cells
+        # materialize the codebooks once, then ONE vectorized corpus
+        # pass — bit-identical output to the interpreted-HOF oracle twin
+        # (test_pq_ann_arrow_matches_hof / test_ivfpq_arrow_matches_hof),
+        # which stays the DuckDB-checkable gate form (VERDICT r4 #3)
         _bench_query(
             "emb_pq_ann",
-            lambda: similarity.pq_ann_topk(embs, k=3, n_queries=10),
+            lambda: similarity.pq_ann_topk(
+                embs, k=3, n_queries=10, arrow_encode=True
+            ),
         )
         _bench_query(
             "emb_ivfpq_ann",
-            lambda: similarity.ivfpq_ann_topk(embs, k=3, n_queries=10),
+            lambda: similarity.ivfpq_ann_topk(
+                embs, k=3, n_queries=10, arrow_encode=True
+            ),
         )
 
         print(

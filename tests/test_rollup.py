@@ -308,3 +308,37 @@ def test_blob_chunks_dropped_propagates_through_cascade(spark):
     # uncapped cascade of a capped child still carries the counter
     t1d2 = rollup_cascade(t1h, "1d")
     assert t1d2.collect()[0]["blob_chunks_dropped"] == h_drops
+
+
+def test_blob_chunks_dropped_counts_leaf_units(spark):
+    """ADVICE r4: a 1d cap that drops ONE 1h child whose blob holds 60
+    minute-chunks must report 60 leaf chunks lost, not 1 — the counter
+    is leaf-(1m-chunk)-unit at every tier, and blob_n_chunks tracks the
+    kept payload the same way."""
+    import datetime as dt
+
+    from ts_process_spark.operators.rollup import (
+        rollup_cascade,
+        rollup_raw_to_1m,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        ("c1", m, "user", "x" * 50, None, t0 + dt.timedelta(minutes=m))
+        for m in range(180)  # three full hours, one conv
+    ]
+    raw = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t1h = rollup_cascade(rollup_raw_to_1m(raw), "1h")  # lossless
+    hrows = t1h.collect()
+    assert all(r["blob_n_chunks"] == 60 for r in hrows)
+    blob_len = (
+        len(bytes(hrows[0]["ts_blob"])) + len(bytes(hrows[0]["val_blob"]))
+    )
+    # budget for exactly two of the three 1h children
+    t1d = rollup_cascade(t1h, "1d", max_blob_bytes=2 * blob_len)
+    d = t1d.collect()[0]
+    assert d["blob_chunks_dropped"] == 60  # leaf units, not "1 child"
+    assert d["blob_n_chunks"] == 120  # kept payload, leaf units

@@ -300,3 +300,33 @@ def test_bbp_bulk_hostile_files(spark, tmp_path, station_pdf):
     assert set(dz["i"]) == {0} and len(dz) == 2      # dt=0 -> degrade
     gd = got[got["file"].str.endswith("good.bbp")]
     assert len(gd) == len(station_pdf)               # unaffected
+
+
+def test_bbp_bulk_multisplit_header_classification(spark, tmp_path):
+    """ADVICE r4: with a file larger than one input split, Spark packs
+    splits by DESCENDING size, so monotonically_increasing_id does not
+    follow file offset — the old header pass could misread a post-data
+    comment as a header.  The wholetext header pass sees true in-file
+    line order: the trailing '# lp = 999' must NOT override the leading
+    block's value, at a split size that forces many splits."""
+    from ts_process_spark.sources import formats
+
+    lines = ["# units = cm/s", "# lp = 1.5"]
+    lines += [f"{i * 0.01:.2f} 1.0 2.0 3.0" for i in range(3000)]
+    lines += ["# lp = 999.0", "# padding = 77"]
+    p = tmp_path / "big.bbp"
+    p.write_text("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        n_parts = spark.read.text(str(p)).rdd.getNumPartitions()
+        assert n_parts > 4  # the data pass really is multi-split
+        sig, hdr = formats.read_bbp_bulk(spark, str(p))
+        h = hdr.collect()[0]
+        assert h["units"] == "cm/s"
+        assert h["lp"] == 1.5  # leading block wins, not the trailing line
+        assert h["padding"] is None  # post-data comment keys don't exist
+        assert sig.count() == 3000
+        assert sig.where("dt is null or dt != 0.01").count() == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -470,6 +470,17 @@ def test_bucket_pairs_two_level_split(spark):
     assert m.n_buckets == 3 and m.n_split_buckets == 2
     assert m.n_dropped_sub_buckets == 1
     assert m.n_dropped_pairs == 25 * 24 // 2
+    assert m.n_dropped_buckets == 0  # superset schema, zero-filled
+    # drop policy emits the SAME columns (ADVICE r4), zero-filled the
+    # other way
+    md = dedup.bucket_cap_metrics(keyed, ["band", "bh"], max_bucket=20)
+    assert md.columns == [
+        "n_buckets", "n_dropped_buckets", "n_split_buckets",
+        "n_dropped_sub_buckets", "n_dropped_pairs",
+    ]
+    r = md.collect()[0]
+    assert r.n_dropped_buckets == 2 and r.n_split_buckets == 0
+    assert r.n_dropped_sub_buckets == 0
 
 
 def test_bm25_matches_duckdb_oracle(spark):
@@ -934,3 +945,83 @@ def test_ivf_trained_coarse_codebook(spark):
         emb, k=3, n_cells=16, nprobe=4, pq_codebook=None, ivf_codebook=coarse
     ).collect()
     assert len(c) > 0
+
+
+def test_pq_ann_arrow_matches_hof(spark):
+    """pq_ann_topk(arrow_encode=True) — the production path bench.py
+    times — must be ROW-IDENTICAL to the interpreted-HOF oracle twin."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    hof = sorted(map(tuple, similarity.pq_ann_topk(emb, k=5, n_queries=8).collect()))
+    arw = sorted(
+        map(
+            tuple,
+            similarity.pq_ann_topk(
+                emb, k=5, n_queries=8, arrow_encode=True
+            ).collect(),
+        )
+    )
+    assert hof == arw
+
+
+def test_ivfpq_arrow_matches_hof(spark):
+    """ivfpq_ann_topk(arrow_encode=True): the single-pass Arrow
+    (cell_id, codes) attach must reproduce the HOF plan bit-for-bit —
+    including the round(cosine, 6) HALF_UP cell ranking, replayed via
+    Decimal(shortest-repr) in the kernel.  Checked on the shared fixture
+    AND the adversarial embeddings (zero-norm rows, ties)."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata_adv"):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        hof = sorted(
+            map(tuple, similarity.ivfpq_ann_topk(emb, k=3, n_queries=10).collect())
+        )
+        arw = sorted(
+            map(
+                tuple,
+                similarity.ivfpq_ann_topk(
+                    emb, k=3, n_queries=10, arrow_encode=True
+                ).collect(),
+            )
+        )
+        assert hof == arw, sf
+        # the attach stage itself agrees cell-by-cell (stronger than the
+        # top-k subset): compare against ivf_cell_assignments + pq_encode
+        pcb = similarity.pq_train(emb)
+        cid, civ = similarity.ivf_train_cells(emb)
+        att = {
+            r["id"]: (r["cell_id"], tuple(r["codes"]))
+            for r in similarity.ivfpq_attach_arrow(emb, pcb, cid, civ).collect()
+        }
+        ass = {
+            r["id"]: r["cell_id"]
+            for r in similarity.ivf_cell_assignments(emb).collect()
+        }
+        enc = {
+            r["id"]: tuple(r["codes"])
+            for r in similarity.pq_encode(emb).collect()
+        }
+        assert att == {i: (ass[i], enc[i]) for i in ass}, sf
+
+
+def test_media_from_series_rejects_out_of_range(spark):
+    """ADVICE r4: out-of-range samples must raise, not modulo-wrap into
+    the pixel/PCM dtype."""
+    import pytest as _pt
+
+    bad_img = spark.createDataFrame(
+        [(1, "image", 0, 300)], "media_id long, kind string, i int, s long"
+    )
+    with _pt.raises(Exception) as ei:
+        multimodal.media_from_series(bad_img).collect()
+    assert "uint8" in str(ei.value)
+    bad_aud = spark.createDataFrame(
+        [(2, "audio", 0, 40000)], "media_id long, kind string, i int, s long"
+    )
+    with _pt.raises(Exception) as ei:
+        multimodal.media_from_series(bad_aud).collect()
+    assert "int16" in str(ei.value)
+    ok = spark.createDataFrame(
+        [(3, "image", 0, 255), (4, "audio", 0, -32768)],
+        "media_id long, kind string, i int, s long",
+    )
+    assert multimodal.media_from_series(ok).count() == 2

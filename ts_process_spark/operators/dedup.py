@@ -298,38 +298,48 @@ def bucket_cap_metrics(
     no-silent-caps rule) — run alongside a dedup job so the coverage
     loss is a recorded metric, not an invisible truncation.
 
-    Without ``salt_col`` (drop policy): one row with total buckets,
-    dropped buckets, dropped candidate-pair count.  With ``salt_col``
-    (two-level split policy): over-cap primary buckets are SPLIT, so
-    the reported drops are the sub-buckets still beyond the cap; split
+    ONE schema for BOTH policies (ADVICE r4: a metrics consumer keyed
+    to the drop-policy columns silently read nothing once a pipeline
+    switched to split) — inapplicable columns are zero:
+    (n_buckets, n_dropped_buckets, n_split_buckets,
+    n_dropped_sub_buckets, n_dropped_pairs).
+
+    Without ``salt_col`` (drop policy): whole over-cap buckets drop.
+    With ``salt_col`` (two-level split policy): over-cap primaries are
+    SPLIT and only sub-buckets still beyond the cap drop; split
     primaries are counted separately (pairs straddling sub-buckets are
-    a recall property pinned by tests, not a cap drop)."""
-    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    a recall property pinned by tests, not a cap drop).  The split path
+    scans ``keyed`` once: (key, salt) sizes aggregate first and primary
+    sizes re-aggregate from them."""
+    zero = F.lit(0).cast("long")
     if salt_col is None:
+        sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
         return sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
                 "n_dropped_buckets"
             ),
+            zero.alias("n_split_buckets"),
+            zero.alias("n_dropped_sub_buckets"),
             F.sum(
                 F.when(
                     F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
                 ).otherwise(0)
             ).cast("long").alias("n_dropped_pairs"),
         )
-    prim = sizes.agg(
+    sub_sizes = keyed.groupBy(*key_cols, salt_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    prim_sizes = sub_sizes.groupBy(*key_cols).agg(F.sum("n").alias("n"))
+    prim = prim_sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
+        zero.alias("n_dropped_buckets"),
         F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
             "n_split_buckets"
         ),
     )
-    over = sizes.where(F.col("n") > max_bucket).select(*key_cols)
-    sub_sizes = (
-        keyed.join(F.broadcast(over), key_cols)
-        .groupBy(*key_cols, salt_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    sub = sub_sizes.agg(
+    over = prim_sizes.where(F.col("n") > max_bucket).select(*key_cols)
+    sub = sub_sizes.join(F.broadcast(over), key_cols).agg(
         F.coalesce(
             F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)), F.lit(0)
         ).alias("n_dropped_sub_buckets"),

@@ -239,7 +239,17 @@ def media_from_series(df: DataFrame, width: int = 8, height: int = 8) -> DataFra
         mid = int(pdf["media_id"].iloc[0])
         kind = pdf["kind"].iloc[0]
         s = pdf["s"].to_numpy(dtype=np.int64)
+        # validate per kind instead of silently modulo-wrapping into the
+        # sample dtype (ADVICE r4): a caller that forgot the pmod
+        # normalization gets a loud error, not corrupted payloads whose
+        # decoded stats no longer match the source column
         if kind == "image":
+            if s.size and (s.min() < 0 or s.max() > 255):
+                raise ValueError(
+                    f"media_id {mid}: image samples must be uint8 "
+                    f"[0, 255], got [{s.min()}, {s.max()}] — apply the "
+                    "pmod(x, 256) normalization first"
+                )
             pix = np.zeros(width * height, dtype=np.uint8)
             m = min(s.size, width * height)
             pix[:m] = s[:m]
@@ -247,6 +257,11 @@ def media_from_series(df: DataFrame, width: int = 8, height: int = 8) -> DataFra
             meta = {"width": width, "height": height, "sample_rate": None,
                     "n_bytes": len(payload)}
         else:
+            if s.size and (s.min() < -32768 or s.max() > 32767):
+                raise ValueError(
+                    f"media_id {mid}: audio samples must be int16 "
+                    f"[-32768, 32767], got [{s.min()}, {s.max()}]"
+                )
             payload = encode_wav(s.astype(np.int16), 16000)
             meta = {"width": None, "height": None, "sample_rate": 16000,
                     "n_bytes": len(payload)}

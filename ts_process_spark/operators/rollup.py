@@ -216,9 +216,22 @@ def rollup_cascade(
     order until the byte budget is reached and the drop is SURFACED as a
     ``blob_chunks_dropped`` column (the no-silent-caps rule — aggregates
     stay exact either way; only replay payload is truncated).  Default
-    None = lossless, schema unchanged."""
+    None = lossless.
+
+    Drop accounting is in LEAF (1m-chunk) units at every tier (ADVICE
+    r4: summing "own drops" in immediate-child units with propagated
+    grandchild counts produced a mixed-unit number that under-read real
+    data loss): every cascade row carries ``blob_n_chunks`` = leaf
+    chunks inside its blob (a 1m child without the column counts 1), a
+    dropped child is weighted by ITS leaf count, and the propagated
+    child counters are already leaf-unit by induction."""
     hfn = _hash_fn(hash_name)
     trunc = TIERS[tier]
+    child_n = (
+        F.col("blob_n_chunks")
+        if "blob_n_chunks" in child.columns
+        else F.lit(1).cast("long")
+    )
     grouped = child.groupBy(
         "conv_id", F.date_trunc(trunc, "bucket_ts").alias("bucket_ts")
     ).agg(
@@ -237,6 +250,7 @@ def rollup_cascade(
                     F.col("text_hash").alias("h"),
                     F.col("ts_blob").alias("tb"),
                     F.col("val_blob").alias("vb"),
+                    child_n.alias("n"),
                 )
             )
         ).alias("children"),
@@ -247,6 +261,9 @@ def rollup_cascade(
         ),
     )
     children = F.col("children")
+    leaf_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, c: acc + c["n"]
+    )
     if max_blob_bytes is not None:
         # keep chunks in bucket order while the cumulative (tb+vb) size
         # fits the budget; per-group children count is bounded (≤60/24),
@@ -261,14 +278,13 @@ def rollup_cascade(
             )
             <= F.lit(max_blob_bytes),
         )
-        own_dropped = (F.size(children) - F.size(kept)).cast("long")
+        own_dropped = leaf_sum(children) - leaf_sum(kept)  # leaf units
         blob_src = kept
     else:
         own_dropped = None
         blob_src = children
     # no-silent-caps, transitively: a capped child tier's drop counter
-    # must survive further cascading — sum the child column (counted in
-    # that level's immediate-child units) into this row's counter
+    # (already leaf-unit) survives further cascading
     has_child_drops = "blob_chunks_dropped" in child.columns
     if own_dropped is not None or has_child_drops:
         parts = []
@@ -311,6 +327,7 @@ def rollup_cascade(
         _concat_blobs_udf(F.transform(blob_src, lambda c: c["vb"])).alias(
             "val_blob"
         ),
+        leaf_sum(blob_src).alias("blob_n_chunks"),
         *dropped,
     )
 

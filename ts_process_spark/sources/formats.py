@@ -102,34 +102,43 @@ def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
       the '#' lines distributively — the same regex surface as
       read_bbp_headers, as columns instead of a driver dict.
 
-    Scale shape: spark.read.text splits per file (and per block for
-    large files); the only exchange is the per-file window, whose key
-    count = file count."""
+    Scale shape: the DATA pass is spark.read.text — splits per file AND
+    per block for large files, order-free (rows self-order by t); the
+    HEADER pass is a separate wholetext read (one row per file — line
+    offsets inside a file are otherwise unrecoverable: Spark packs
+    splits by descending size, so monotonically_increasing_id does NOT
+    follow file offset across a multi-split file and can misclassify
+    header vs post-data comment lines — ADVICE r4).  Header files ride
+    as one string each, so individual files must stay under the 2 GiB
+    row limit for the header columns; the data rows have no such bound.
+    The only exchanges are the two per-file aggregations."""
     from pyspark.sql import Window
 
     lines = spark.read.text(path).select(
-        F.input_file_name().alias("file"),
-        F.col("value"),
-        # split-ordered monotonic id: headers live in each file's first
-        # block, so this orders the leading comment lines correctly
-        F.monotonically_increasing_id().alias("_lid"),
+        F.input_file_name().alias("file"), F.col("value")
     )
     # ---- header columns: mirror read_bbp_headers exactly — only the
-    # LEADING comment block counts (stop at the first data line) and
-    # the LAST match per key wins, all keys optional (missing → NULL,
-    # never an ANSI cast error on '')
-    first_data = (
-        lines.where(
-            ~F.col("value").rlike(r"^[#%]") & (F.trim(F.col("value")) != "")
-        )
-        .groupBy("file")
-        .agg(F.min("_lid").alias("_fd"))
+    # LEADING comment block counts (comment lines starting at column 0
+    # and blank lines, stopping at the first data line) and the LAST
+    # match per key wins, all keys optional (missing → NULL, never an
+    # ANSI cast error on '')
+    wt = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value")
+    )
+    lead = F.regexp_extract(
+        F.concat(F.col("value"), F.lit("\n")),  # terminate a last
+        # comment line that has no trailing newline
+        r"\A((?:(?:[#%][^\n]*|[ \t\r]*)\n)*)",
+        1,
     )
     hdr = (
-        lines.where(F.col("value").rlike(r"^[#%]"))
-        .join(first_data, "file", "left")
-        .where(F.col("_fd").isNull() | (F.col("_lid") < F.col("_fd")))
-        .select("file", F.lower(F.col("value")).alias("v"), "_lid")
+        wt.select("file", F.posexplode(F.split(lead, "\n")))
+        .where(F.col("col").rlike(r"^[#%]"))
+        .select(
+            "file",
+            F.col("pos").alias("_lid"),  # TRUE in-file line number
+            F.lower(F.col("col")).alias("v"),
+        )
     )
 
     def last_match(key_re: str):
