@@ -330,3 +330,55 @@ def test_bbp_bulk_multisplit_header_classification(spark, tmp_path):
         assert sig.where("dt is null or dt != 0.01").count() == 0
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_her_to_bbp_vertical_flip_roundtrip(spark, tmp_path):
+    """her→BBP composition (her2bbp.py:145-157): read_hercules →
+    hercules_to_bbp (vertical sign flip) → write_bbp → read_bbp must
+    hand back h1/h2 unchanged and ver NEGATED vs the Hercules source —
+    the one reader-composition path not previously end-to-end
+    (VERDICT r4 #8)."""
+    rng = np.random.default_rng(11)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "dt": [0.01] * n,
+            **{
+                f"{m}_{c}": rng.normal(0, 1, n)
+                for m in ("dis", "vel", "acc")
+                for c in ("ns", "ew", "up")
+            },
+        }
+    )
+    her_path = str(tmp_path / "st.her")
+    formats.write_hercules(pdf, her_path)
+    her = formats.read_hercules(spark, her_path)
+    for quantity in ("dis", "acc"):
+        wide = (
+            formats.hercules_to_bbp(her, quantity)
+            .orderBy("t")
+            .toPandas()
+        )
+        np.testing.assert_allclose(
+            wide["h1"], pdf[f"{quantity}_ns"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            wide["h2"], pdf[f"{quantity}_ew"], atol=1e-6
+        )
+        # the P6 flip: BBP vertical = − Hercules vertical
+        np.testing.assert_allclose(
+            wide["ver"], -pdf[f"{quantity}_up"], atol=1e-6
+        )
+        wide["dt"] = 0.01
+        bbp_path = str(tmp_path / f"st.{quantity}.bbp")
+        formats.write_bbp(wide, bbp_path, units="cm")
+        back, meta = formats.read_bbp(spark, bbp_path)
+        got = back.orderBy("t").toPandas()
+        assert meta["dt"] == 0.01
+        np.testing.assert_allclose(
+            got["ver"], -pdf[f"{quantity}_up"], atol=1e-6
+        )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        formats.hercules_to_bbp(her, "nope")

@@ -216,6 +216,26 @@ def read_hercules(spark: SparkSession, path: str) -> DataFrame:
     return stacked
 
 
+def hercules_to_bbp(df: DataFrame, quantity: str = "acc") -> DataFrame:
+    """her→BBP conversion (her2bbp.py:145-157): pivot the tall Hercules
+    rows back to wide (t, h1, h2, ver) for one quantity WITH the
+    vertical sign flip — Hercules verticals point down, BBP's point up,
+    so the reference multiplies every ver sample by −1 (the P6
+    projection; read_hercules itself deliberately does NOT flip because
+    read_file_her doesn't — the flip belongs to this converter).
+    Compose with write_bbp for the file-level her2bbp pipeline."""
+    if quantity not in ("dis", "vel", "acc"):
+        raise ValueError(f"quantity must be dis|vel|acc, got {quantity!r}")
+    wide = (
+        df.groupBy("t")
+        .pivot("component", ["h1", "h2", "ver"])
+        .agg(F.first(quantity))
+    )
+    return wide.select(
+        "t", "h1", "h2", (-F.col("ver")).alias("ver")
+    )
+
+
 def read_awp(spark: SparkSession, path: str, dt: float) -> DataFrame:
     """AWP 4-col; the reference SWAPS channel order EW/NS → NS/EW
     (awp2bbp.py:102-107) and synthesizes the time axis from dt."""
