@@ -382,3 +382,32 @@ def test_her_to_bbp_vertical_flip_roundtrip(spark, tmp_path):
 
     with _pt.raises(ValueError):
         formats.hercules_to_bbp(her, "nope")
+
+
+def test_bbp_bulk_crlf_and_cr_only_headers(spark, tmp_path):
+    """Review r5: the wholetext header pass must normalize CRLF and
+    bare-CR terminators like the Hadoop line reader does — no trailing
+    \r inside captured values, and a CR-only file must not collapse
+    into one giant 'comment line' (which would let a post-data comment
+    override the leading block)."""
+    from ts_process_spark.sources import formats
+
+    data = "".join(f"{i * 0.01:.2f} 1.0 2.0 3.0\n" for i in range(20))
+    (tmp_path / "crlf.bbp").write_bytes(
+        ("# units = cm/s\n# orientation = 0,90,up\n" + data + "# lp = 9\n")
+        .replace("\n", "\r\n").encode()
+    )
+    (tmp_path / "cr.bbp").write_bytes(
+        ("# units = m\n# lp = 1.5\n" + data + "# lp = 999\n")
+        .replace("\n", "\r").encode()
+    )
+    sig, hdr = formats.read_bbp_bulk(spark, str(tmp_path))
+    h = {r["file"].rsplit("/", 1)[-1]: r for r in hdr.collect()}
+    assert h["crlf.bbp"]["units"] == "cm/s"  # no trailing \r
+    assert h["crlf.bbp"]["orientation"] == "0,90,up"  # (.+) capture clean
+    assert h["crlf.bbp"]["lp"] is None  # post-data comment ignored
+    assert h["cr.bbp"]["units"] == "m"
+    assert h["cr.bbp"]["lp"] == 1.5  # leading block wins, not 999
+    counts = {r["file"].rsplit("/", 1)[-1]: 1 for r in sig.collect()}
+    g = sig.toPandas()
+    assert (g.groupby(g["file"].str.rsplit("/", n=1).str[-1]).size() == 20).all()

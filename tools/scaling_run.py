@@ -4,7 +4,12 @@ identical input at local[8] and local[32], report throughput at both,
 scaling efficiency, and output-hash equality.
 
 Usage:
-    python tools/scaling_run.py [n_convs] [out_md]
+    python tools/scaling_run.py [n_convs] [n_stations]
+
+PROTOCOL SIZE MATTERS: run with 400000 2000 (40.5M turns — every
+round's recorded numbers).  At the small default (3000 convs, ~10 s
+walls) the one-time JVM JIT constant dominates both widths and the
+efficiency number is meaningless (see BENCH/BASELINE.md round-5 notes).
 
 Each level runs in its own subprocess (fresh JVM) via the --worker
 entry; the parent writes BENCH/BASELINE.md.

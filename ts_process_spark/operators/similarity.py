@@ -463,6 +463,18 @@ def _pq_check(dim: int, m: int) -> int:
     return dim // m
 
 
+def _pq_subdists_np(Q: "np.ndarray", sub_cb: "np.ndarray") -> "np.ndarray":
+    """THE shared exact-int64 subspace squared-L2 kernel: (B, dim) int64
+    queries/corpus vs (n_codes, m, ds)-shaped codebook → (B, n_codes, m)
+    distances — the single NumPy twin of the JVM _pq_subdist fold.  One
+    copy on purpose: the arrow/HOF/training bit-parity pins assume every
+    kernel computes identical numbers (review r5 #3)."""
+    n_codes, m, ds = sub_cb.shape
+    S = Q.reshape(len(Q), m, ds)
+    diff = S[:, None, :, :] - sub_cb[None, :, :, :]
+    return np.einsum("bcjk,bcjk->bcj", diff, diff)
+
+
 def _pq_lut_np(
     codebook: "np.ndarray", Q: "np.ndarray", m: int
 ) -> "np.ndarray":
@@ -471,26 +483,24 @@ def _pq_lut_np(
     numbers to the JVM _pq_subdist fold (integer arithmetic both
     sides)."""
     n_codes, dim = codebook.shape
-    ds = dim // m
-    sub_cb = codebook.reshape(n_codes, m, ds)
-    S = Q.reshape(len(Q), m, ds)
-    diff = S[:, None, :, :] - sub_cb[None, :, :, :]
-    d = np.einsum("bcjk,bcjk->bcj", diff, diff)  # (nq, n_codes, m)
+    d = _pq_subdists_np(Q, codebook.reshape(n_codes, m, dim // m))
     return d.transpose(0, 2, 1)  # (nq, m, n_codes)
 
 
 def _round6(x: float):
     """Spark's round(double, 6): BigDecimal.valueOf(d).setScale(6,
-    HALF_UP) rounds the SHORTEST decimal repr half-up — Python's
-    Decimal(repr(float)) walks the identical path (both reprs are the
-    unique shortest round-trip string), so JVM/NumPy agree bit-for-bit
-    even within ulp/2 of a .5 boundary where a float-arithmetic HALF_UP
-    emulation diverges (the r4 lesson)."""
+    HALF_UP) rounds the double's decimal string repr half-up; Python's
+    Decimal(repr(float)) walks the same path.  DOMAIN BOUND (review r5
+    #4): Java Double.toString is only shortest-repr from JDK 19 — on
+    the JDK 17 this container runs, Java and Python reprs diverge for
+    magnitudes ≥ ~2^53 (measured 611/200k at large magnitude, 0/500k in
+    [-1, 1]).  Cosines live in [-1, 1], far inside the safe region;
+    the assert keeps any future caller honest."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return Decimal(repr(float(x))).quantize(
-        Decimal("0.000001"), ROUND_HALF_UP
-    )
+    x = float(x)
+    assert abs(x) < 2.0**53, f"_round6 repr-parity bound exceeded: {x}"
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
 
 
 def _probe_cells_np(
@@ -499,18 +509,40 @@ def _probe_cells_np(
     """Top-``nprobe`` cells per query row, ranked by round(cosine, 6)
     DESC with lowest-cell-id ties — the ivf_cell_assignments /
     probe-window JVM semantics replayed exactly (exact int64 dots,
-    correctly-rounded IEEE sqrt/divide, _round6 rounding)."""
-    dots = (Q @ C.T).astype(np.float64)  # exact: |dot| << 2^53
+    correctly-rounded IEEE sqrt/divide, HALF_UP rounding).
+
+    Vectorized (review r5 #2): floor(y + 0.5) on the double equals the
+    JVM's decimal-repr HALF_UP everywhere except within float error of
+    a .5 grid boundary, so the hot path is one NumPy pass and only rows
+    holding a boundary-ambiguous cosine (|y+0.5 − nearest int| < 1e-6;
+    repr-vs-double discrepancies are ~1e-10 here) replay through the
+    exact Decimal comparator."""
+    order = np.argsort(cids)
+    cids_s = np.ascontiguousarray(np.asarray(cids)[order])
+    C_s = np.ascontiguousarray(np.asarray(C)[order])
+    dots = (Q @ C_s.T).astype(np.float64)  # exact: |dot| << 2^53
     nrm_q = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-    nrm_c = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+    nrm_c = np.sqrt((C_s * C_s).sum(axis=1).astype(np.float64))
     cos = dots / (nrm_q[:, None] * nrm_c[None, :])
-    out = []
-    for r in range(len(Q)):
+    y = cos * 1e6 + 0.5
+    qa = np.floor(y).astype(np.int64)  # == HALF_UP off-boundary
+    amb_rows = np.nonzero((np.abs(y - np.round(y)) < 1e-6).any(axis=1))[0]
+    k = len(cids_s)
+    # composite key: max rounded cosine first, lowest cell id (= lowest
+    # sorted index) on ties
+    key = qa * np.int64(k + 1) - np.arange(k, dtype=np.int64)[None, :]
+    if nprobe == 1:
+        win = key.argmax(axis=1)
+        out = [[int(cids_s[w])] for w in win]
+    else:
+        ordk = np.argsort(-key, axis=1, kind="stable")[:, :nprobe]
+        out = [[int(cids_s[j]) for j in row] for row in ordk]
+    for r in amb_rows:  # exact replay for boundary rows only
         ranked = sorted(
-            ((_round6(cos[r, i]), int(cids[i])) for i in range(len(cids))),
+            ((_round6(cos[r, i]), int(cids_s[i])) for i in range(k)),
             key=lambda t: (-t[0], t[1]),
         )
-        out.append([c for _, c in ranked[:nprobe]])
+        out[r] = [c for _, c in ranked[:nprobe]]
     return out
 
 
@@ -919,9 +951,7 @@ def pq_train_kmeans(
                     continue
                 Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
                 S = Q.reshape(len(pdf), m, ds)
-                diff = S[:, None, :, :] - _cb[None, :, :, :]
-                d = np.einsum("bcjk,bcjk->bcj", diff, diff)
-                codes = d.argmin(axis=1)  # (B, m) first-min ties
+                codes = _pq_subdists_np(Q, _cb).argmin(axis=1)  # (B, m)
                 for j in range(m):
                     np.add.at(cnt[j], codes[:, j], 1)
                     np.add.at(sums[j], codes[:, j], S[:, j, :])
@@ -987,10 +1017,7 @@ def pq_encode_arrow(
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            S = Q.reshape(len(pdf), m, ds)
-            # (B, n_codes, m): per-subspace squared L2 to every codeword
-            diff = S[:, None, :, :] - sub_cb[None, :, :, :]
-            d = np.einsum("bcjk,bcjk->bcj", diff, diff)
+            d = _pq_subdists_np(Q, sub_cb)  # (B, n_codes, m)
             codes = d.argmin(axis=1).astype(np.int32)  # first-min ties
             yield pd.DataFrame(
                 {
@@ -1070,10 +1097,7 @@ def ivfpq_attach_arrow(
             if not len(pdf):
                 continue
             Q = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["q"]])
-            S = Q.reshape(len(pdf), m, ds)
-            diff = S[:, None, :, :] - sub_cb[None, :, :, :]
-            d = np.einsum("bcjk,bcjk->bcj", diff, diff)
-            codes = d.argmin(axis=1).astype(np.int32)
+            codes = _pq_subdists_np(Q, sub_cb).argmin(axis=1).astype(np.int32)
             cells = np.array(
                 [a[0] for a in _probe_cells_np(Q, cids, C, 1)], dtype=np.int64
             )

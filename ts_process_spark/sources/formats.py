@@ -123,12 +123,20 @@ def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     # match per key wins, all keys optional (missing → NULL, never an
     # ANSI cast error on '')
     wt = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("file"), F.col("value")
+        F.input_file_name().alias("file"),
+        # normalize CRLF / bare-CR terminators to \n — the Hadoop line
+        # reader the data pass (and the old header pass) goes through
+        # treats all three as line ends and strips them; without this a
+        # CRLF file leaves '\r' inside captured header values and a
+        # CR-only file has no '\n' at all, so the leading-block regex
+        # would swallow the whole file as one comment line
+        F.regexp_replace(F.col("value"), "\r\n?", "\n").alias("value"),
     )
     lead = F.regexp_extract(
-        F.concat(F.col("value"), F.lit("\n")),  # terminate a last
-        # comment line that has no trailing newline
-        r"\A((?:(?:[#%][^\n]*|[ \t\r]*)\n)*)",
+        # (?:\n|\z): a final comment line without a trailing newline
+        # still terminates the block — no concat copy of the whole file
+        F.col("value"),
+        r"\A((?:(?:[#%][^\n]*|[ \t]*)(?:\n|\z))*)",
         1,
     )
     hdr = (
