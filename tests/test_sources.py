@@ -309,8 +309,6 @@ def test_bbp_bulk_multisplit_header_classification(spark, tmp_path):
     comment as a header.  The wholetext header pass sees true in-file
     line order: the trailing '# lp = 999' must NOT override the leading
     block's value, at a split size that forces many splits."""
-    from ts_process_spark.sources import formats
-
     lines = ["# units = cm/s", "# lp = 1.5"]
     lines += [f"{i * 0.01:.2f} 1.0 2.0 3.0" for i in range(3000)]
     lines += ["# lp = 999.0", "# padding = 77"]
@@ -369,7 +367,9 @@ def test_her_to_bbp_vertical_flip_roundtrip(spark, tmp_path):
         np.testing.assert_allclose(
             wide["ver"], -pdf[f"{quantity}_up"], atol=1e-6
         )
-        wide["dt"] = 0.01
+        # dt derived in-plan — the converter output composes with
+        # write_bbp directly (review r5 #1: no hand-injected column)
+        assert (wide["dt"] == 0.01).all()
         bbp_path = str(tmp_path / f"st.{quantity}.bbp")
         formats.write_bbp(wide, bbp_path, units="cm")
         back, meta = formats.read_bbp(spark, bbp_path)
@@ -378,10 +378,15 @@ def test_her_to_bbp_vertical_flip_roundtrip(spark, tmp_path):
         np.testing.assert_allclose(
             got["ver"], -pdf[f"{quantity}_up"], atol=1e-6
         )
-    import pytest as _pt
-
-    with _pt.raises(ValueError):
+    with pytest.raises(ValueError):
         formats.hercules_to_bbp(her, "nope")
+    # two stations read as one DataFrame must FAIL, not interleave
+    # (review r5 #2)
+    formats.write_hercules(pdf, str(tmp_path / "st2.her"))
+    both = formats.read_hercules(spark, str(tmp_path) + "/*.her")
+    with pytest.raises(Exception) as ei:
+        formats.hercules_to_bbp(both, "acc").collect()
+    assert "single station" in str(ei.value)
 
 
 def test_bbp_bulk_crlf_and_cr_only_headers(spark, tmp_path):
@@ -390,8 +395,6 @@ def test_bbp_bulk_crlf_and_cr_only_headers(spark, tmp_path):
     \r inside captured values, and a CR-only file must not collapse
     into one giant 'comment line' (which would let a post-data comment
     override the leading block)."""
-    from ts_process_spark.sources import formats
-
     data = "".join(f"{i * 0.01:.2f} 1.0 2.0 3.0\n" for i in range(20))
     (tmp_path / "crlf.bbp").write_bytes(
         ("# units = cm/s\n# orientation = 0,90,up\n" + data + "# lp = 9\n")
@@ -408,6 +411,5 @@ def test_bbp_bulk_crlf_and_cr_only_headers(spark, tmp_path):
     assert h["crlf.bbp"]["lp"] is None  # post-data comment ignored
     assert h["cr.bbp"]["units"] == "m"
     assert h["cr.bbp"]["lp"] == 1.5  # leading block wins, not 999
-    counts = {r["file"].rsplit("/", 1)[-1]: 1 for r in sig.collect()}
     g = sig.toPandas()
     assert (g.groupby(g["file"].str.rsplit("/", n=1).str[-1]).size() == 20).all()

@@ -499,7 +499,8 @@ def _round6(x: float):
     from decimal import ROUND_HALF_UP, Decimal
 
     x = float(x)
-    assert abs(x) < 2.0**53, f"_round6 repr-parity bound exceeded: {x}"
+    if not abs(x) < 2.0**53:  # ValueError, not assert: survives -O
+        raise ValueError(f"_round6 repr-parity bound exceeded: {x}")
     return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
 
 
@@ -1081,9 +1082,11 @@ def ivfpq_attach_arrow(
     n_codes, dim = pq_codebook.shape
     ds = _pq_check(dim, m)
     sub_cb = np.ascontiguousarray(pq_codebook.reshape(n_codes, m, ds))
-    order = np.argsort(cell_ids)
-    cids = np.ascontiguousarray(cell_ids[order])
-    C = np.ascontiguousarray(cell_vecs[order])
+    # no pre-sort here: _probe_cells_np orders cells itself (one source
+    # of the ranking convention; the per-batch argsort of n_cells ids
+    # is trivial next to the distance math)
+    cids = np.asarray(cell_ids, dtype=np.int64)
+    C = np.asarray(cell_vecs, dtype=np.int64)
     schema = T.StructType(
         [
             T.StructField("id", T.LongType(), False),

@@ -24,7 +24,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -123,24 +123,21 @@ def read_bbp_bulk(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     # match per key wins, all keys optional (missing → NULL, never an
     # ANSI cast error on '')
     wt = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("file"),
-        # normalize CRLF / bare-CR terminators to \n — the Hadoop line
-        # reader the data pass (and the old header pass) goes through
-        # treats all three as line ends and strips them; without this a
-        # CRLF file leaves '\r' inside captured header values and a
-        # CR-only file has no '\n' at all, so the leading-block regex
-        # would swallow the whole file as one comment line
-        F.regexp_replace(F.col("value"), "\r\n?", "\n").alias("value"),
+        F.input_file_name().alias("file"), F.col("value")
     )
+    # the lead regex is CR-tolerant in place (terminators \r\n, \r, \n,
+    # or end-of-input; header content stops at either CR or LF) — the
+    # Hadoop line reader the data pass goes through treats all three as
+    # line ends, and matching them here means NO whole-file copy (no
+    # normalization pass, no concat): the extract only walks the
+    # leading block plus the first data line
     lead = F.regexp_extract(
-        # (?:\n|\z): a final comment line without a trailing newline
-        # still terminates the block — no concat copy of the whole file
         F.col("value"),
-        r"\A((?:(?:[#%][^\n]*|[ \t]*)(?:\n|\z))*)",
+        r"\A((?:(?:[#%][^\r\n]*|[ \t]*)(?:\r\n|\r|\n|\z))*)",
         1,
     )
     hdr = (
-        wt.select("file", F.posexplode(F.split(lead, "\n")))
+        wt.select("file", F.posexplode(F.split(lead, r"\r\n|\r|\n")))
         .where(F.col("col").rlike(r"^[#%]"))
         .select(
             "file",
@@ -226,21 +223,59 @@ def read_hercules(spark: SparkSession, path: str) -> DataFrame:
 
 def hercules_to_bbp(df: DataFrame, quantity: str = "acc") -> DataFrame:
     """her→BBP conversion (her2bbp.py:145-157): pivot the tall Hercules
-    rows back to wide (t, h1, h2, ver) for one quantity WITH the
+    rows back to wide (t, h1, h2, ver, dt) for one quantity WITH the
     vertical sign flip — Hercules verticals point down, BBP's point up,
     so the reference multiplies every ver sample by −1 (the P6
     projection; read_hercules itself deliberately does NOT flip because
     read_file_her doesn't — the flip belongs to this converter).
-    Compose with write_bbp for the file-level her2bbp pipeline."""
+    The output composes DIRECTLY with write_bbp: dt is derived in-plan
+    from the two smallest time values (get_dt semantics), carried as a
+    column.
+
+    SINGLE-STATION input required (like the reference converter, which
+    processes one file): if two rows share a (t, component) — e.g. a
+    directory of station files was read as one DataFrame — the job
+    fails loudly instead of interleaving stations into a
+    plausible-looking but arbitrary BBP table."""
     if quantity not in ("dis", "vel", "acc"):
         raise ValueError(f"quantity must be dis|vel|acc, got {quantity!r}")
-    wide = (
-        df.groupBy("t")
-        .pivot("component", ["h1", "h2", "ver"])
-        .agg(F.first(quantity))
+    from pyspark.sql import Window
+
+    def one(component: str) -> Column:
+        picked = F.first(
+            F.when(F.col("component") == component, F.col(quantity)),
+            ignorenulls=True,
+        )
+        n = F.count(F.when(F.col("component") == component, F.lit(1)))
+        return F.when(
+            n > 1,
+            F.raise_error(
+                F.lit(
+                    "hercules_to_bbp: duplicate (t, component) rows — "
+                    "input must be a single station"
+                )
+            ).cast("double"),
+        ).otherwise(picked)
+
+    wide = df.groupBy("t").agg(
+        one("h1").alias("h1"),
+        one("h2").alias("h2"),
+        one("ver").alias("ver"),
     )
-    return wide.select(
-        "t", "h1", "h2", (-F.col("ver")).alias("ver")
+    wo = Window.orderBy("t")
+    wf = Window.partitionBy(F.lit(0))
+    return (
+        wide.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_t2", F.lead("t").over(wo))
+        .withColumn(
+            "dt",
+            F.max(
+                F.when(
+                    F.col("_rn") == 1, F.round(F.col("_t2") - F.col("t"), 9)
+                )
+            ).over(wf),
+        )
+        .select("t", "h1", "h2", (-F.col("ver")).alias("ver"), "dt")
     )
 
 
