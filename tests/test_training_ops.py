@@ -1084,3 +1084,85 @@ def test_pack_documents_matches_duckdb_and_invariants(spark):
     assert sorted((r["id"], r["n_tokens"]) for r in rows) == want
     # every doc present exactly once
     assert len({r["id"] for r in rows}) == len(rows) == docs.count()
+
+
+def test_png_codec_roundtrip_and_filters(spark):
+    """Native PNG codec (stdlib zlib — a genuinely COMPRESSED image
+    format with no external library): (a) encode→decode roundtrip for
+    gray and RGB; (b) the decoder reconstructs all five scanline
+    filters from hand-filtered streams; (c) CRC corruption and JPEG
+    payloads fail loudly; (d) decoded_stats value-checks PNG media
+    end-to-end through the Spark path."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, size=(16, 13)).astype(np.uint8)
+    rgb = rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(gray)) == gray).all()
+    assert (multimodal.decode_png(multimodal.encode_png(rgb)) == rgb).all()
+    # hand-filter an RGB image with every filter type and re-decode
+    img = rng.integers(0, 256, size=(5, 6, 3)).astype(np.int32)
+    h, w, bpp = 5, 6, 3
+    stride = w * bpp
+    flat = img.reshape(h, stride)
+    raw = b""
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = r % 5
+        cur = flat[r]
+        line = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([ft]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(payload) == img.astype(np.uint8)).all()
+    # corruption and unsupported formats fail loudly
+    bad = bytearray(multimodal.encode_png(gray))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff" + b"\x00" * 10)
+    # Spark decoded_stats over PNG media: exact integer functionals
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(multimodal.encode_png(gray)),
+             {"width": 13, "height": 16, "sample_rate": None,
+              "n_bytes": 0}),
+            (2, "image", bytearray(b"\xff\xd8broken"),
+             {"width": 0, "height": 0, "sample_rate": None, "n_bytes": 0}),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:int>",
+    )
+    stats = {r["media_id"]: r for r in multimodal.decoded_stats(media).collect()}
+    g = gray.astype(np.int64)
+    assert stats[1]["decoded_ok"] and stats[1]["n_vals"] == g.size
+    assert stats[1]["v_sum"] == int(g.sum())
+    assert stats[1]["v_sumsq"] == int((g * g).sum())
+    assert not stats[2]["decoded_ok"]  # poisoned payload costs one row

@@ -10,12 +10,14 @@ feature vector — the standard cheap corpus-QA features (truncation,
 corruption and format drift all move them) that need no codec.  They
 are exact functions of the payload bytes and are value-checked against
 a DuckDB oracle at the driver gate (queries_docs.q_multimodal_features).
-DECODE is real for the container-friendly formats: uncompressed 24-bit
-BMP and PCM16 WAV are parsed natively (pure NumPy/struct — no codec
-library), with pixel/sample-level features in
-``extract_decoded_features``; compressed formats (JPEG/PNG) remain the
-honest pluggable boundary in ``decode_image`` (PIL/libjpeg are not in
-this container) and raise NotImplementedError rather than pretending.
+DECODE is real for the formats the standard library can carry:
+uncompressed 24-bit BMP and PCM16 WAV parse natively (pure
+NumPy/struct), and PNG — a genuinely COMPRESSED format — encodes and
+decodes through stdlib zlib (all five scanline filters, gray/RGB/alpha,
+chunk CRCs verified), with pixel/sample-level features in
+``extract_decoded_features``.  JPEG/FLAC/MP3 remain the honest
+pluggable boundary in ``decode_image`` (libjpeg/PIL are not in this
+container) and raise NotImplementedError rather than pretending.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -166,15 +168,142 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
+    """Native PNG writer — 8-bit grayscale (H, W) or RGB (H, W, 3),
+    filter type 0 per scanline, one zlib IDAT.  Pure stdlib zlib +
+    struct: PNG's compression IS zlib (RFC 1950/2083), so a *compressed*
+    image codec needs no external library at all."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color = 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color = 2
+    else:
+        raise ValueError("expected (H, W) gray or (H, W, 3) RGB uint8")
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Native PNG decoder: 8-bit depth, gray / RGB / gray+alpha / RGBA,
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth) per the spec; chunk CRCs verified; multi-IDAT streams
+    concatenated.  Palette and Adam7 raise NotImplementedError (the
+    remaining honest boundary along with JPEG/FLAC/MP3).
+
+    The Up filter unfilters vectorized; Sub/Average/Paeth are
+    sequential per pixel BY SPECIFICATION (each byte depends on the
+    reconstructed left neighbor) — fine for the fixture-scale media
+    column, and the mapInPandas batch shape around it is the part that
+    must scale."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = nch = None
+    while pos + 12 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    f"PNG depth={depth} compression={comp} filter={filt}"
+                )
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG")
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if nch is None:
+                raise NotImplementedError(f"palette PNG (color type {color})")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * nch, nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:  # Up (vectorized)
+            cur = (cur + prev) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, nch)
+    return img[:, :, 0] if nch == 1 else img
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode dispatch: BMP is implemented natively (pure NumPy —
-    no codec library needed); compressed formats (JPEG/PNG) remain the
-    honest pluggable boundary since libjpeg/PIL are not in this
-    container."""
+    """Image decode dispatch: BMP and PNG are implemented natively (pure
+    NumPy + stdlib zlib — PNG's DEFLATE stream needs no codec library);
+    JPEG remains the honest pluggable boundary since libjpeg/PIL are not
+    in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG) unavailable in this environment"
+        "JPEG (and other compressed image codecs beyond PNG) unavailable "
+        "in this environment"
     )
 
 
