@@ -1166,3 +1166,86 @@ def test_png_codec_roundtrip_and_filters(spark):
     assert stats[1]["v_sum"] == int(g.sum())
     assert stats[1]["v_sumsq"] == int((g * g).sum())
     assert not stats[2]["decoded_ok"]  # poisoned payload costs one row
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher repetition/format rules: engineered documents trip each
+    rule exactly once, and the full fixture agrees with an independent
+    Python replica of every rule."""
+    import re
+
+    mk = [
+        # 0: good doc — passes everything
+        (0, " ".join(["the quick brown fox jumps over a lazy dog ok fine"] * 6)),
+        # 1: too short
+        (1, "the a of and tiny"),
+        # 2: mean word length too high
+        (2, " ".join(["pneumonoultramicroscopics"] * 60) + " the a of"),
+        # 3: symbol ratio (#)
+        (3, " ".join(["the a of and to in is it for on word"] * 5)
+            + " " + "# " * 40),
+        # 4: bulleted lines
+        (4, "\n".join(["- the a of and to in is it for on item"] * 10)),
+        # 5: ellipsis lines
+        (5, "\n".join(["the a of and to in is it for on more..."] * 10)),
+        # 6: non-alphabetic words
+        (6, " ".join(["123 456 789 000"] * 15) + " the a of and to"),
+        # 7: no stopwords
+        (7, " ".join(["zorp blix quux flarn"] * 15)),
+        # 8: duplicate lines
+        (8, "\n".join(["the a of and to in is it for on same line"] * 8
+                      + ["unique one here now ok yes truly fresh line x"])),
+    ]
+    docs = spark.createDataFrame(mk, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.gopher_quality_flags(docs).collect()}
+    assert got[0]["gopher_pass"], dict(got[0].asDict())
+    fails = {
+        1: "ok_token_count", 2: "ok_mean_word_len", 3: "ok_symbol_ratio",
+        4: "ok_bullet_lines", 5: "ok_ellipsis_lines", 6: "ok_alpha_words",
+        7: "ok_stopwords", 8: "ok_dup_lines",
+    }
+    for did, rule in fails.items():
+        assert not got[did][rule], (did, rule, dict(got[did].asDict()))
+        assert not got[did]["gopher_pass"], did
+
+    # plan contract: one scan projection — no exchange, no Python, no
+    # explode (the 100 TB shape)
+    plan = textstats.gopher_quality_flags(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    assert "Generate" not in plan
+
+    # independent Python replica over the shared fixture
+    sf = "/root/testdata/sf0.001"
+    fix = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = {r["doc_id"]: r for r in textstats.gopher_quality_flags(
+        fix, text_col="text"
+    ).collect()}
+    stops = set(textstats.STOPWORDS["en"])
+    for r in fix.select("doc_id", "text").collect():
+        text = r["text"] or ""
+        toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text.strip()) if w]
+        n = len(toks)
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        nl = len(lines)
+        nsym = text.count("#") + text.count("…") + 3 * text.count("...")
+        g = rows[r["doc_id"]]
+        assert g["n_tokens"] == n
+        assert g["ok_token_count"] == (50 <= n <= 100_000)
+        mwl = sum(map(len, toks)) / n if n else 0.0
+        assert g["ok_mean_word_len"] == (3.0 <= mwl <= 10.0)
+        assert g["ok_symbol_ratio"] == (nsym / n <= 0.1 if n else True)
+        nb = sum(1 for ln in lines if re.match(r"^[-*•]", ln.strip()))
+        assert g["ok_bullet_lines"] == (nb / nl <= 0.9 if nl else True)
+        ne = sum(
+            1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip(" "))
+        )
+        assert g["ok_ellipsis_lines"] == (ne / nl <= 0.3 if nl else True)
+        na = sum(1 for w in toks if re.search(r"[A-Za-z]", w))
+        assert g["ok_alpha_words"] == (na / n >= 0.8 if n else False)
+        sw = sum(1 for w in toks if w.lower() in stops)
+        assert g["ok_stopwords"] == (sw >= 2)
+        nd = len({ln.strip() for ln in lines})
+        assert g["ok_dup_lines"] == (
+            (nl - nd) / nl <= 0.3 if nl else True
+        )

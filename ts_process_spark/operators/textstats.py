@@ -340,3 +340,115 @@ def pack_documents(
     return out.withColumn(
         "pos_in_bin", (F.row_number().over(wb) - 1).cast("long")
     ).select("id", "n_tokens", "shard", "bin_id", "pos_in_bin")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, published
+    heuristics) as PURE column expressions — one scan, no shuffle, no
+    Python; the standard pretraining-corpus repetition/format filters.
+
+    Emits one boolean per rule plus ``gopher_pass`` (AND of all), never
+    dropping rows — filtering policy belongs to the caller; at 100 TB
+    you want the flags materialized once and reusable by many cuts.
+
+    Rules (ratios are exact rationals of integer counts, so the flags
+    are engine-stable for oracle checks): token count band; mean word
+    length band; symbol-to-word ratio (# and … / ...); bulleted-line
+    fraction; ellipsis-terminated-line fraction; fraction of words
+    containing an alphabetic character; English stopword hits;
+    duplicate-line fraction."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks).cast("long")
+    token_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(n_tokens > 0, token_chars / n_tokens).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[#…]", ""))
+        + F.lit(3)
+        * (
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\.\.\.", -1))
+            - 1
+        )
+    ).cast("long")
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda ln: F.trim(ln) != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike(r"[A-Za-z]"))
+    ).cast("long")
+    n_dist_lines = F.size(
+        F.array_distinct(F.transform(lines, F.trim))
+    ).cast("long")
+    sw = stopword_count(F.col(text_col), "en")
+    out = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn(
+            "ok_token_count",
+            (n_tokens >= min_tokens) & (n_tokens <= max_tokens),
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        )
+        .withColumn(
+            "ok_symbol_ratio",
+            F.when(n_tokens > 0, n_symbols / n_tokens <= max_symbol_ratio)
+            .otherwise(F.lit(True)),
+        )
+        .withColumn(
+            "ok_bullet_lines",
+            F.when(n_lines > 0, n_bullet / n_lines <= max_bullet_frac)
+            .otherwise(F.lit(True)),
+        )
+        .withColumn(
+            "ok_ellipsis_lines",
+            F.when(n_lines > 0, n_ellipsis / n_lines <= max_ellipsis_frac)
+            .otherwise(F.lit(True)),
+        )
+        .withColumn(
+            "ok_alpha_words",
+            F.when(n_tokens > 0, n_alpha / n_tokens >= min_alpha_word_frac)
+            .otherwise(F.lit(False)),
+        )
+        .withColumn("ok_stopwords", sw >= min_stopword_hits)
+        .withColumn(
+            "ok_dup_lines",
+            F.when(
+                n_lines > 0,
+                (n_lines - n_dist_lines) / n_lines <= max_dup_line_frac,
+            ).otherwise(F.lit(True)),
+        )
+    )
+    rules = [
+        "ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "ok_dup_lines",
+    ]
+    allok = F.col(rules[0])
+    for r in rules[1:]:
+        allok = allok & F.col(r)
+    return out.withColumn("gopher_pass", allok)
