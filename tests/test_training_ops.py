@@ -1162,10 +1162,37 @@ def test_png_codec_roundtrip_and_filters(spark):
     )
     stats = {r["media_id"]: r for r in multimodal.decoded_stats(media).collect()}
     g = gray.astype(np.int64)
-    assert stats[1]["decoded_ok"] and stats[1]["n_vals"] == g.size
-    assert stats[1]["v_sum"] == int(g.sum())
-    assert stats[1]["v_sumsq"] == int((g * g).sum())
+    # gray normalizes to 3 RGB channels (as_rgb — the one pixel contract,
+    # matching the BMP gray-encode convention), so the functionals triple
+    assert stats[1]["decoded_ok"] and stats[1]["n_vals"] == 3 * g.size
+    assert stats[1]["v_sum"] == 3 * int(g.sum())
+    assert stats[1]["v_sumsq"] == 3 * int((g * g).sum())
     assert not stats[2]["decoded_ok"]  # poisoned payload costs one row
+    # a CRC-intact PNG with a corrupt DEFLATE stream (zlib.error) also
+    # costs one row, not a task failure (review r5)
+    import struct as _s
+
+    bad_idat = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(
+            b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        )
+        + multimodal._png_chunk(b"IDAT", b"\x99not-zlib\x00\x01")
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    media2 = spark.createDataFrame(
+        [(3, "image", bytearray(bad_idat),
+          {"width": 4, "height": 4, "sample_rate": None, "n_bytes": 0})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:int>",
+    )
+    r3 = multimodal.decoded_stats(media2).collect()[0]
+    assert not r3["decoded_ok"]
+    # gray+alpha and RGBA normalize to RGB (alpha dropped)
+    ga = np.dstack([gray, np.full_like(gray, 7)])
+    assert (multimodal.as_rgb(ga)[:, :, 1] == gray).all()
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, dtype=np.uint8)])
+    assert (multimodal.as_rgb(rgba) == rgb).all()
 
 
 def test_gopher_quality_flags(spark):
@@ -1226,7 +1253,7 @@ def test_gopher_quality_flags(spark):
         text = r["text"] or ""
         toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text.strip()) if w]
         n = len(toks)
-        lines = [ln for ln in text.split("\n") if ln.strip()]
+        lines = [ln for ln in text.split("\n") if ln.strip(" ")]
         nl = len(lines)
         nsym = text.count("#") + text.count("…") + 3 * text.count("...")
         g = rows[r["doc_id"]]
@@ -1235,17 +1262,17 @@ def test_gopher_quality_flags(spark):
         mwl = sum(map(len, toks)) / n if n else 0.0
         assert g["ok_mean_word_len"] == (3.0 <= mwl <= 10.0)
         assert g["ok_symbol_ratio"] == (nsym / n <= 0.1 if n else True)
-        nb = sum(1 for ln in lines if re.match(r"^[-*•]", ln.strip()))
+        nb = sum(1 for ln in lines if re.match(r"^[-*•]", ln.strip(" ")))
         assert g["ok_bullet_lines"] == (nb / nl <= 0.9 if nl else True)
         ne = sum(
-            1 for ln in lines if re.search(r"(\.\.\.|…)$", ln.rstrip(" "))
+            1 for ln in lines if re.search(r"(\.\.\.|…)\Z", ln.rstrip(" "))
         )
         assert g["ok_ellipsis_lines"] == (ne / nl <= 0.3 if nl else True)
         na = sum(1 for w in toks if re.search(r"[A-Za-z]", w))
         assert g["ok_alpha_words"] == (na / n >= 0.8 if n else False)
         sw = sum(1 for w in toks if w.lower() in stops)
         assert g["ok_stopwords"] == (sw >= 2)
-        nd = len({ln.strip() for ln in lines})
+        nd = len({ln.strip(" ") for ln in lines})
         assert g["ok_dup_lines"] == (
             (nl - nd) / nl <= 0.3 if nl else True
         )

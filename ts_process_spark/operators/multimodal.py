@@ -28,6 +28,7 @@ parallelism is ordinary partition parallelism.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -172,8 +173,6 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
-    import zlib
-
     return (
         struct.pack(">I", len(body))
         + ctype
@@ -194,8 +193,6 @@ def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
         color = 2
     else:
         raise ValueError("expected (H, W) gray or (H, W, 3) RGB uint8")
-    import zlib
-
     h, w = arr.shape[:2]
     raw = b"".join(b"\x00" + arr[r].tobytes() for r in range(h))
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
@@ -219,8 +216,6 @@ def decode_png(payload: bytes) -> np.ndarray:
     reconstructed left neighbor) — fine for the fixture-scale media
     column, and the mapInPandas batch shape around it is the part that
     must scale."""
-    import zlib
-
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, []
@@ -305,6 +300,24 @@ def decode_image(payload: bytes) -> np.ndarray:
         "JPEG (and other compressed image codecs beyond PNG) unavailable "
         "in this environment"
     )
+
+
+def as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize any decoder output to (H, W, 3) RGB — the ONE pixel
+    contract every decoded-feature op computes against (review r5:
+    decode_png can return 2-D gray, gray+alpha, or RGBA, and a raw
+    `img[..., 0..2]` on those silently mixed pixel COLUMNS or folded
+    alpha into the stats).  Gray replicates across channels (matching
+    the BMP encode convention); alpha is dropped."""
+    if img.ndim == 2:
+        return np.stack([img] * 3, axis=-1)
+    if img.ndim == 3 and img.shape[2] == 2:  # gray + alpha
+        return np.stack([img[:, :, 0]] * 3, axis=-1)
+    if img.ndim == 3 and img.shape[2] == 4:  # RGBA
+        return img[:, :, :3]
+    if img.ndim == 3 and img.shape[2] == 3:
+        return img
+    raise ValueError(f"unexpected decoded image shape {img.shape}")
 
 
 def byte_features(payload: bytes, n_dims: int = 8) -> tuple[float, float, list[float]]:
@@ -442,7 +455,7 @@ def decoded_stats(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 try:
                     if kind == "image":
-                        vals = decode_image(b).ravel().astype(np.int64)
+                        vals = as_rgb(decode_image(b)).ravel().astype(np.int64)
                     elif kind == "audio":
                         _rate, pcm = decode_wav(b)
                         vals = pcm.astype(np.int64)
@@ -457,7 +470,7 @@ def decoded_stats(media: DataFrame) -> DataFrame:
                          int(vals.min()), int(vals.max()), float(vs) / n)
                     )
                 except (NotImplementedError, ValueError, IndexError,
-                        struct.error):
+                        struct.error, zlib.error):
                     rows.append((mid, kind, False, 0, 0, 0, 0, 0, None))
             yield pd.DataFrame(
                 rows,
@@ -496,7 +509,7 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 try:
                     if kind == "image":
-                        img = decode_image(b)
+                        img = as_rgb(decode_image(b))
                         luma = (
                             0.299 * img[..., 0]
                             + 0.587 * img[..., 1]
@@ -513,7 +526,7 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                          float(vals.std()), float(vals.max()))
                     )
                 except (NotImplementedError, ValueError, IndexError,
-                        struct.error):
+                        struct.error, zlib.error):
                     rows.append((mid, kind, False, None, None, None))
             yield pd.DataFrame(
                 rows,

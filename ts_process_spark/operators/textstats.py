@@ -29,6 +29,14 @@ STOPWORDS = {
 WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
+def _token_chars(toks: Column) -> Column:
+    """Total characters across tokens — int64 fold, shared by
+    with_token_stats and gopher_quality_flags (one copy on purpose)."""
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization (split on runs of whitespace, no
     empties).  NULL text normalizes to the empty token array — so every
@@ -53,12 +61,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn(
             "n_unique_tokens", F.size(F.array_distinct("_toks")).cast("long")
         )
-        .withColumn(
-            "token_chars",
-            F.aggregate(
-                "_toks", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-            ),
-        )
+        .withColumn("token_chars", _token_chars(F.col("_toks")))
         .drop("_toks")
     )
 
@@ -330,13 +333,25 @@ def pack_documents(
     ).withColumn(
         "shard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy("id")
+    # ROWS frame explicitly (review r5): the default RANGE frame makes
+    # duplicate ids frame PEERS, double-counting their tokens in the
+    # first duplicate's running sum; n_tokens as the secondary key
+    # keeps the order deterministic under duplicate ids (rows tied on
+    # BOTH keys are interchangeable — identical id and length — so the
+    # packing outcome is invariant to their order)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id", "n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     running = F.sum("n_tokens").over(w)
     out = base.withColumn("_start", running - F.col("n_tokens"))
+    # `div`, not floor(double /): genuinely integer, exact at any
+    # cumulative offset (floor of the double quotient drifts near 2^53)
     out = out.withColumn(
-        "bin_id", F.floor(F.col("_start") / budget_tokens).cast("long")
+        "bin_id", F.expr(f"_start div {int(budget_tokens)}").cast("long")
     )
-    wb = Window.partitionBy("shard", "bin_id").orderBy("id")
+    wb = Window.partitionBy("shard", "bin_id").orderBy("id", "n_tokens")
     return out.withColumn(
         "pos_in_bin", (F.row_number().over(wb) - 1).cast("long")
     ).select("id", "n_tokens", "shard", "bin_id", "pos_in_bin")
@@ -371,30 +386,24 @@ def gopher_quality_flags(
     containing an alphabetic character; English stopword hits;
     duplicate-line fraction."""
     toks = tokens(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty doc
     n_tokens = F.size(toks).cast("long")
-    token_chars = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+    token_chars = _token_chars(toks)
     mean_wl = F.when(n_tokens > 0, token_chars / n_tokens).otherwise(F.lit(0.0))
     n_symbols = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.coalesce(F.col(text_col), F.lit("")), r"[#…]", ""))
-        + F.lit(3)
-        * (
-            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\.\.\.", -1))
-            - 1
-        )
+        F.length(txt)
+        - F.length(F.regexp_replace(txt, r"[#…]", ""))
+        + F.lit(3) * (F.size(F.split(txt, r"\.\.\.", -1)) - 1)
     ).cast("long")
     lines = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-        lambda ln: F.trim(ln) != "",
+        F.split(txt, "\n"), lambda ln: F.trim(ln) != ""
     )
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
     ).cast("long")
     n_ellipsis = F.size(
-        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)\z"))
     ).cast("long")
     n_alpha = F.size(
         F.filter(toks, lambda w: w.rlike(r"[A-Za-z]"))
