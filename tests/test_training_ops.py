@@ -1276,3 +1276,63 @@ def test_gopher_quality_flags(spark):
         assert g["ok_dup_lines"] == (
             (nl - nd) / nl <= 0.3 if nl else True
         )
+
+
+def test_curation_pipeline_end_to_end(spark):
+    """The full training-data curation flow composed from the engine's
+    own operators on the shared fixture: exact dedup → MinHash near-dup
+    keep-list → Gopher quality + language filters → greedy sequence
+    packing.  Pins that the stages compose (schemas line up, nothing
+    collects driver-side except the final asserts) and that each stage
+    only ever shrinks or preserves the survivor set."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup on the full text: keep the lowest id per digest
+    groups = dedup.exact_dedup(docs, F.col("text"))
+    keep_exact = groups.select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keep_exact, "doc_id")
+    n1 = d1.count()
+    assert 0 < n1 <= n0
+
+    # 2. near-dup keep-list via MinHash pairs + connected components
+    pairs = dedup.minhash_dedup_pairs(d1, threshold=0.8)
+    keep = dedup.dedup_keep_list(d1.select("doc_id"), pairs)
+    d2 = d1.join(keep.where(F.col("keep")).select("doc_id"), "doc_id")
+    n2 = d2.count()
+    assert 0 < n2 <= n1
+
+    # 3. quality + language filters (flags materialize once)
+    flagged = textstats.gopher_quality_flags(
+        textstats.with_language_id(d2)
+    )
+    d3 = flagged.where(F.col("gopher_pass") & (F.col("lang_pred") == "en"))
+    n3 = d3.count()
+    assert 0 < n3 <= n2
+
+    # 4. pack survivors into 512-token shard-local bins
+    packed = textstats.pack_documents(
+        d3.select("doc_id", "text"), budget_tokens=512, n_shards=4
+    )
+    rows = packed.collect()
+    assert len(rows) == n3  # every survivor packed exactly once
+    assert len({r["id"] for r in rows}) == n3
+    # per-(shard, bin) used tokens only exceed the budget via one
+    # straddling document (greedy streaming-pack rule)
+    from collections import defaultdict
+
+    used = defaultdict(int)
+    maxdoc = defaultdict(int)
+    for r in rows:
+        used[(r["shard"], r["bin_id"])] += r["n_tokens"]
+        maxdoc[(r["shard"], r["bin_id"])] = max(
+            maxdoc[(r["shard"], r["bin_id"])], r["n_tokens"]
+        )
+    for k, tot in used.items():
+        assert tot - maxdoc[k] < 512, (k, tot, maxdoc[k])
+    # determinism of the whole composed pipeline
+    again = textstats.pack_documents(
+        d3.select("doc_id", "text"), budget_tokens=512, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
