@@ -1336,3 +1336,38 @@ def test_curation_pipeline_end_to_end(spark):
         d3.select("doc_id", "text"), budget_tokens=512, n_shards=4
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_gif_codec_roundtrip(spark):
+    """Native GIF codec (pure-Python LZW): encode→decode roundtrip
+    across width-growth and dictionary-clear boundaries (>4094 codes),
+    GIF89a extension-block skipping, dispatch through decode_image,
+    and exact decoded_stats over GIF media."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    for shape in [(8, 8), (64, 64), (100, 37), (1, 1), (120, 120)]:
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        back = multimodal.decode_gif(multimodal.encode_gif(img))
+        assert back.shape == shape + (3,), shape
+        for ch in range(3):  # gray palette replicates across channels
+            assert (back[:, :, ch] == img).all(), shape
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    # 89a + comment extension block still decodes
+    g = bytearray(multimodal.encode_gif(img))
+    g[4:5] = b"9"
+    g2 = bytes(g[: 13 + 768]) + b"\x21\xfe\x05hello\x00" + bytes(g[13 + 768:])
+    assert (multimodal.decode_gif(g2)[:, :, 0] == img).all()
+    # truncated stream fails loudly
+    with pytest.raises(ValueError):
+        multimodal.decode_gif(bytes(g)[:-20])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(multimodal.encode_gif(img)),
+          {"width": 16, "height": 16, "sample_rate": None, "n_bytes": 0})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:int>",
+    )
+    r = multimodal.decoded_stats(media).collect()[0]
+    gi = img.astype(np.int64)
+    assert r["decoded_ok"] and r["n_vals"] == 3 * gi.size
+    assert r["v_sum"] == 3 * int(gi.sum())

@@ -12,9 +12,11 @@ are exact functions of the payload bytes and are value-checked against
 a DuckDB oracle at the driver gate (queries_docs.q_multimodal_features).
 DECODE is real for the formats the standard library can carry:
 uncompressed 24-bit BMP and PCM16 WAV parse natively (pure
-NumPy/struct), and PNG — a genuinely COMPRESSED format — encodes and
-decodes through stdlib zlib (all five scanline filters, gray/RGB/alpha,
-chunk CRCs verified), with pixel/sample-level features in
+NumPy/struct), and two genuinely COMPRESSED formats decode
+natively: PNG through stdlib zlib (all five scanline filters,
+gray/RGB/alpha, chunk CRCs verified) and GIF through pure-Python LZW
+(width growth, dictionary clears, extension skipping), with
+pixel/sample-level features in
 ``extract_decoded_features``.  JPEG/FLAC/MP3 remain the honest
 pluggable boundary in ``decode_image`` (libjpeg/PIL are not in this
 container) and raise NotImplementedError rather than pretending.
@@ -287,18 +289,174 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, 0] if nch == 1 else img
 
 
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Native GIF87a writer for 8-bit grayscale: 256-entry gray global
+    palette and a VALID LZW stream in the 'literal codes' style (each
+    pixel emitted as its own code, CLEAR sent before the decoder's
+    dictionary would overflow; the encoder mirrors the decoder's
+    width-growth schedule exactly) — pure Python bit-packing, no
+    library."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif expects (H, W) grayscale uint8")
+    h, w = arr.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (7 << 4) | 7, 0, 0)
+    for i in range(256):  # gray palette
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW min code size
+    clear, end = 256, 257
+    bits = bytearray()
+    acc = n_acc = 0
+    width = 9
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_acc
+        acc |= code << n_acc
+        n_acc += width
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+
+    emit(clear)
+    first_after_clear = True
+    for px in arr.ravel():
+        emit(int(px))
+        # mirror the decoder EXACTLY: while processing this code it
+        # appends one dict entry (except for the first after a clear)
+        # and then bumps its read width when the table reaches 2^width
+        # — so the encoder bumps AFTER emitting, not before (the
+        # classic LZW early-change off-by-one)
+        if first_after_clear:
+            first_after_clear = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4094:  # clear before the table can fill
+                emit(clear)
+                width, next_code = 9, 258
+                first_after_clear = True
+    emit(end)
+    if n_acc:
+        bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        blk = bits[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Native GIF decoder (pure Python LZW): 87a/89a, global color
+    table, one image frame, extensions skipped; non-interlaced.  Local
+    color tables and interlace raise NotImplementedError.  Returns
+    (H, W, 3) uint8 RGB via the palette."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, n * 3, pos
+        ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+        elif intro == 0x2C:
+            break
+        elif intro == 0x3B:
+            raise ValueError("GIF has no image frame")
+        else:
+            raise ValueError(f"bad GIF block introducer {intro:#x}")
+    _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if ipacked & 0x80:
+        raise NotImplementedError("GIF local color table")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF")
+    if palette is None:
+        raise NotImplementedError("GIF without a global color table")
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(payload) and payload[pos] != 0:
+        ln = payload[pos]
+        blk = payload[pos + 1 : pos + 1 + ln]
+        if len(blk) != ln:
+            raise ValueError("truncated GIF data sub-block")
+        data += blk
+        pos += 1 + ln
+    if pos >= len(payload):
+        raise ValueError("truncated GIF image data")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    acc = n_acc = di = 0
+    prev = None
+    out = bytearray()
+    while True:
+        while n_acc < width:
+            if di >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[di] << n_acc
+            di += 1
+            n_acc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_acc -= width
+        if code == clear:
+            table = table[: clear + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    idx = np.frombuffer(bytes(out), np.uint8, count=w * h).reshape(h, w)
+    return palette[idx]
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode dispatch: BMP and PNG are implemented natively (pure
-    NumPy + stdlib zlib — PNG's DEFLATE stream needs no codec library);
-    JPEG remains the honest pluggable boundary since libjpeg/PIL are not
-    in this container."""
+    """Image decode dispatch: BMP, PNG, and GIF are implemented
+    natively (pure NumPy + stdlib zlib / pure-Python LZW — no codec
+    library); JPEG remains the honest pluggable boundary since
+    libjpeg/PIL are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "JPEG (and other compressed image codecs beyond PNG) unavailable "
-        "in this environment"
+        "JPEG (and other compressed image codecs beyond PNG/GIF) "
+        "unavailable in this environment"
     )
 
 
