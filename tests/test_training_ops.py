@@ -133,8 +133,12 @@ def test_multimodal_plumbing(spark, docs):
     assert by_id[0]["byte_entropy"] > 0
     # identical payloads → identical features (deterministic stub)
     assert by_id[0]["feature"] == by_id[1]["feature"]
-    with pytest.raises(NotImplementedError):
+    # a truncated JPEG fails loudly; an unknown format hits the honest
+    # NotImplementedError boundary
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFFxxxxWEBP" + b"\x00" * 8)
 
 
 def test_ivf_ann_recall_vs_brute_force(spark):
@@ -1146,7 +1150,7 @@ def test_png_codec_roundtrip_and_filters(spark):
     bad[40] ^= 0xFF
     with pytest.raises(ValueError):
         multimodal.decode_png(bytes(bad))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # truncated JPEG (now a real codec)
         multimodal.decode_image(b"\xff\xd8\xff" + b"\x00" * 10)
     # Spark decoded_stats over PNG media: exact integer functionals
     media = spark.createDataFrame(
@@ -1371,3 +1375,65 @@ def test_gif_codec_roundtrip(spark):
     gi = img.astype(np.int64)
     assert r["decoded_ok"] and r["n_vals"] == 3 * gi.size
     assert r["v_sum"] == 3 * int(gi.sum())
+
+
+def test_jpeg_codec(spark):
+    """Native baseline JPEG codec: (a) gray roundtrip is exact on a
+    smooth image (quantization fine enough) and bounded on noise;
+    (b) RGB 4:4:4 roundtrip within chroma tolerance; (c) INTEROP —
+    decodes real libjpeg-encoded files shipped in this container (a
+    4:2:0 photo with restart intervals among them); (d) dispatch +
+    decoded_stats through the Spark path; (e) truncation fails loudly
+    and costs one row."""
+    import os
+
+    import numpy as np
+
+    from ts_process_spark.functions import jpeg
+
+    rng = np.random.default_rng(5)
+    base = np.kron(rng.normal(0, 1, (6, 6)), np.ones((16, 16)))
+    gray = ((base - base.min()) / (base.ptp() + 1e-9) * 255).astype(np.uint8)
+    back = jpeg.decode_jpeg(jpeg.encode_jpeg(gray))
+    assert (back == gray).all()  # smooth image: lossless at this Q
+    noisy = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    nb = jpeg.decode_jpeg(jpeg.encode_jpeg(noisy))
+    assert np.abs(nb.astype(float) - noisy).mean() < 10
+    rgb = np.stack(
+        [np.kron(rng.normal(0, 1, (4, 4)), np.ones((12, 12)))
+         for _ in range(3)], -1)
+    rgb = ((rgb - rgb.min()) / (rgb.ptp() + 1e-9) * 255).astype(np.uint8)
+    cb = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb))
+    assert cb.shape == rgb.shape
+    assert np.abs(cb.astype(float) - rgb.astype(float)).mean() < 3
+    # real libjpeg files (skip silently if the container layout changes)
+    real = [
+        ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+         "python3.11/site-packages/IPython/core/tests/2x2.jpg", (2, 2)),
+        ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+         "python3.11/test/imghdrdata/python.jpg", (16, 16, 3)),
+        ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/"
+         "doc/rust/html/embedded-book/assets/verify.jpeg", (477, 720, 3)),
+    ]
+    n_real = 0
+    for path, shape in real:
+        if not os.path.exists(path):
+            continue
+        img = jpeg.decode_jpeg(open(path, "rb").read())
+        assert img.shape == shape, path
+        assert 0 < float(img.std()) or img.size <= 4, path
+        n_real += 1
+    assert n_real >= 1  # at least one genuine interop file decoded
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(jpeg.encode_jpeg(gray)[:-30])
+    # Spark path: decoded_stats over a JPEG payload, exact functionals
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg.encode_jpeg(gray)),
+          {"width": 96, "height": 96, "sample_rate": None, "n_bytes": 0})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_bytes:int>",
+    )
+    r = multimodal.decoded_stats(media).collect()[0]
+    g = gray.astype(np.int64)
+    assert r["decoded_ok"] and r["n_vals"] == 3 * g.size
+    assert r["v_sum"] == 3 * int(g.sum())  # smooth roundtrip is exact

@@ -10,16 +10,17 @@ feature vector — the standard cheap corpus-QA features (truncation,
 corruption and format drift all move them) that need no codec.  They
 are exact functions of the payload bytes and are value-checked against
 a DuckDB oracle at the driver gate (queries_docs.q_multimodal_features).
-DECODE is real for the formats the standard library can carry:
-uncompressed 24-bit BMP and PCM16 WAV parse natively (pure
-NumPy/struct), and two genuinely COMPRESSED formats decode
-natively: PNG through stdlib zlib (all five scanline filters,
-gray/RGB/alpha, chunk CRCs verified) and GIF through pure-Python LZW
-(width growth, dictionary clears, extension skipping), with
-pixel/sample-level features in
-``extract_decoded_features``.  JPEG/FLAC/MP3 remain the honest
-pluggable boundary in ``decode_image`` (libjpeg/PIL are not in this
-container) and raise NotImplementedError rather than pretending.
+DECODE is real across the image formats: uncompressed 24-bit BMP and
+PCM16 WAV parse natively (pure NumPy/struct), and three genuinely
+COMPRESSED formats decode natively — PNG through stdlib zlib (all five
+scanline filters, gray/RGB/alpha, chunk CRCs verified), GIF through
+pure-Python LZW (width growth, dictionary clears, extension skipping),
+and baseline JPEG through a pure-NumPy Huffman+IDCT pipeline
+(functions/jpeg.py: 4:4:4/4:2:2/4:2:0, restart intervals, verified
+against real libjpeg files shipped in this container) — with
+pixel/sample-level features in ``extract_decoded_features``.
+Progressive JPEG, palette PNG, interlaced formats, and FLAC/MP3 audio
+remain the honest NotImplementedError boundary.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -444,19 +445,23 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode dispatch: BMP, PNG, and GIF are implemented
-    natively (pure NumPy + stdlib zlib / pure-Python LZW — no codec
-    library); JPEG remains the honest pluggable boundary since
-    libjpeg/PIL are not in this container."""
+    """Image decode dispatch: BMP, PNG, GIF, and baseline JPEG are all
+    implemented natively (pure NumPy + stdlib zlib / pure-Python LZW
+    and Huffman — no codec library).  Progressive JPEG, palette PNG,
+    interlaced formats, and FLAC/MP3 audio remain the honest
+    NotImplementedError boundary."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from ts_process_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG (and other compressed image codecs beyond PNG/GIF) "
-        "unavailable in this environment"
+        "unrecognized image format (beyond BMP/PNG/GIF/baseline JPEG)"
     )
 
 
