@@ -233,16 +233,11 @@ class BitReader:
 
 
 def _decode_tree(bits, vals):
-    codes = {}
-    code = 0
-    i = 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            codes[(ln, code)] = vals[i]
-            code += 1
-            i += 1
-        code <<= 1
-    return codes
+    """(length, code) -> symbol — the decode direction of the ONE
+    canonical-Huffman walk (_canonical_codes)."""
+    return {
+        (ln, code): v for v, (code, ln) in _canonical_codes(bits, vals).items()
+    }
 
 
 def _read_sym(br, tree):
@@ -296,6 +291,11 @@ def decode_jpeg(payload):
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # skip legal 0xFF fill bytes before the marker code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG marker")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -350,6 +350,20 @@ def decode_jpeg(payload):
                 cid = body[1 + 2 * si]
                 tt = body[2 + 2 * si]
                 tsel[cid] = (tt >> 4, tt & 15)
+            # corrupt files referencing undefined tables/components must
+            # fail with the loud-ValueError contract, not KeyError
+            for cid, hs, vs, tq in comps:
+                if cid not in tsel:
+                    raise ValueError("SOS/SOF component id mismatch")
+                if tq not in qt:
+                    raise ValueError("undefined JPEG quant table")
+                if (0, tsel[cid][0]) not in ht or (1, tsel[cid][1]) not in ht:
+                    raise ValueError("undefined JPEG Huffman table")
+            if ns == 1:
+                # a one-component scan is NON-interleaved (T.81 B.2.3):
+                # MCU = one 8x8 data unit in raster order regardless of
+                # the SOF sampling factors
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             scan = payload[pos:]
             end = scan.rfind(b"\xff\xd9")
             if end < 0:

@@ -383,6 +383,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("GIF has no image frame")
         else:
             raise ValueError(f"bad GIF block introducer {intro:#x}")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
     _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
     pos += 10
     if ipacked & 0x80:
@@ -440,7 +442,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
-    idx = np.frombuffer(bytes(out), np.uint8, count=w * h).reshape(h, w)
+    if len(out) != w * h:
+        raise ValueError(
+            f"GIF pixel count mismatch: {len(out)} decoded vs {w * h}"
+        )
+    idx = np.frombuffer(bytes(out), np.uint8).reshape(h, w)
     return palette[idx]
 
 
@@ -633,7 +639,7 @@ def decoded_stats(media: DataFrame) -> DataFrame:
                          int(vals.min()), int(vals.max()), float(vs) / n)
                     )
                 except (NotImplementedError, ValueError, IndexError,
-                        struct.error, zlib.error):
+                        KeyError, struct.error, zlib.error):
                     rows.append((mid, kind, False, 0, 0, 0, 0, 0, None))
             yield pd.DataFrame(
                 rows,
@@ -689,7 +695,7 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                          float(vals.std()), float(vals.max()))
                     )
                 except (NotImplementedError, ValueError, IndexError,
-                        struct.error, zlib.error):
+                        KeyError, struct.error, zlib.error):
                     rows.append((mid, kind, False, None, None, None))
             yield pd.DataFrame(
                 rows,
