@@ -1,9 +1,14 @@
-"""Round-5 slot rotation (VERDICT r4 #1): haversine / unit_scale /
-json_props left the 50-slot driver gate so doc_bm25 / doc_tfidf_top5 /
-emb_pq_ann could be value-checked there instead.  The rotated-out
-queries and their oracles stay in queries_ts.py; this test keeps them
-green with the same strict value compare the gate applies, so rotating
-them back in (or citing them as covered) stays honest.
+"""Slot rotations out of the 50-entry driver gate:
+
+- round 5 (VERDICT r4 #1): haversine / unit_scale / json_props left so
+  doc_bm25 / doc_tfidf_top5 / emb_pq_ann could be value-checked there.
+- round 6 (VERDICT r5 #1): set_ops / pivot_types / revenue_forecast
+  left so gopher_quality_flags / pack_documents / emb_ivfpq_ann could.
+
+The rotated-out queries and their oracles stay in queries_ts.py; this
+test keeps them green with the same strict value compare the gate
+applies, so rotating them back in (or citing them as covered) stays
+honest.
 """
 
 from __future__ import annotations
@@ -23,6 +28,9 @@ def test_rotated_out_slots_match_oracles(spark):
         (QT.q_haversine, QT.SQL_HAVERSINE),
         (QT.q_unit_scale, QT.SQL_UNIT_SCALE),
         (QT.q_json_props, QT.SQL_JSON_PROPS),
+        (QT.q_set_ops, QT.SQL_SET_OPS),
+        (QT.q_pivot_types, QT.SQL_PIVOT_TYPES),
+        (QT.q_revenue_forecast, QT.SQL_REVENUE_FORECAST),
     ]
     for fn, sql in pairs:
         df = fn(spark, SF)

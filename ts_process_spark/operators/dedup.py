@@ -314,18 +314,26 @@ def bucket_cap_metrics(
     zero = F.lit(0).cast("long")
     if salt_col is None:
         sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+        # every counter coalesces to 0 on an EMPTY keyed input (F.sum
+        # over zero rows is NULL — ADVICE r5): the unified-schema
+        # contract promises always-consumable integers in both policies
         return sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
-                "n_dropped_buckets"
-            ),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_dropped_buckets"),
             zero.alias("n_split_buckets"),
             zero.alias("n_dropped_sub_buckets"),
-            F.sum(
-                F.when(
-                    F.col("n") > max_bucket, F.col("n") * (F.col("n") - 1) / 2
-                ).otherwise(0)
-            ).cast("long").alias("n_dropped_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n") > max_bucket,
+                        F.col("n") * (F.col("n") - 1) / 2,
+                    ).otherwise(0)
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("n_dropped_pairs"),
         )
     sub_sizes = keyed.groupBy(*key_cols, salt_col).agg(
         F.count(F.lit(1)).alias("n")
@@ -334,9 +342,10 @@ def bucket_cap_metrics(
     prim = prim_sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         zero.alias("n_dropped_buckets"),
-        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)).alias(
-            "n_split_buckets"
-        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_split_buckets"),
     )
     over = prim_sizes.where(F.col("n") > max_bucket).select(*key_cols)
     sub = sub_sizes.join(F.broadcast(over), key_cols).agg(

@@ -304,6 +304,7 @@ def pack_documents(
     n_shards: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic greedy sequence packing — the training-data prep
     step that concatenates documents into fixed-token-budget bins
@@ -322,17 +323,29 @@ def pack_documents(
     Deterministic at any parallelism: shard and order depend only on
     ids.
 
+    ``hash_mode``: ``"xxhash64"`` (production default — cheapest shard
+    hash) or ``"md5"`` (dedup.hash60 over the id string), the same
+    two-mode convention as the minhash/simhash pipelines: md5 mode is
+    bit-reproducible in DuckDB, so the whole packing plan is
+    value-checkable by the gate oracle; everything downstream of the
+    shard column is identical between modes.
+
     Output: (id, n_tokens, shard, bin_id, pos_in_bin)."""
     from pyspark.sql import Window
 
+    from ts_process_spark.operators.dedup import hash60
+
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
+    shard_hash = (
+        F.xxhash64(F.col("id"))
+        if hash_mode == "xxhash64"
+        else hash60(F.col("id").cast("string"))
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    ).withColumn(
-        "shard", F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards)).cast("int")
-    )
+    ).withColumn("shard", F.pmod(shard_hash, F.lit(n_shards)).cast("int"))
     # ROWS frame explicitly (review r5): the default RANGE frame makes
     # duplicate ids frame PEERS, double-counting their tokens in the
     # first duplicate's running sum; n_tokens as the secondary key

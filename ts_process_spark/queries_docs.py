@@ -905,6 +905,226 @@ SELECT query_id, rank, neighbor_id, approx_d2 FROM (
 """
 
 
+def q_emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ production ANN composition (FAISS IVFPQ shape) through the
+    ``arrow_encode=True`` PRODUCTION path: trained/first-N codebooks
+    materialized once, ONE vectorized Arrow corpus pass attaches
+    (cell_id, codes), per-query probe ranking + ADC lookup tables
+    computed driver-side in exact int64 NumPy and shipped as plan
+    literals (the FAISS client-side query-prep shape — the ONE
+    deliberate tiny driver round-trip in the registered set, ≤ n_queries
+    rows, adjudicated safe in VERDICT r5's plan audit; Catalyst never
+    sees the m×n_codes HOF tree whose ANALYSIS dominated fresh-query
+    latency).  Bit-identical to the HOF oracle twin
+    (tests/test_training_ops.py::test_ivfpq_arrow_matches_hof), and
+    every distance is exact int64 — hash-exact oracle, no float
+    caveats."""
+    return similarity.ivfpq_ann_topk(
+        _embs(spark, sf_dir), k=3, n_cells=16, nprobe=4, m=8, n_codes=16,
+        n_queries=10, arrow_encode=True,
+    )
+
+
+def _sql_emb_ivfpq_ann() -> str:
+    """All-integer DuckDB replica of IVF×PQ: the SQL_EMB_PQ_ANN code/LUT
+    CTEs composed with _sql_emb_ivf_ann's probe-ranking stage (nprobe=4)
+    — candidates come only from each query's probed cells, then ADC."""
+    return f"""
+WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
+cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16),
+ass AS (
+    SELECT id, cell_id FROM (
+        SELECT e.id, cells.cell_id,
+               row_number() OVER (PARTITION BY e.id
+                   ORDER BY {_cos_sql("e.q", "cells.cv")} DESC, cells.cell_id)
+                   AS rn
+        FROM e CROSS JOIN cells
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS code, q AS cv
+    FROM (SELECT id, q FROM e ORDER BY id LIMIT 16)
+),
+ex AS (SELECT id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS k FROM e),
+cx AS (SELECT code, unnest(cv) AS c, generate_subscripts(cv, 1) - 1 AS k
+       FROM cb),
+sub AS (
+    SELECT ex.id, cx.code, ex.k // 8 AS j,
+           CAST(sum((ex.x - cx.c) * (ex.x - cx.c)) AS BIGINT) AS d
+    FROM ex JOIN cx USING (k) GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT id, j, code FROM (
+        SELECT id, j, code, row_number() OVER (
+            PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
+        FROM sub
+    ) WHERE rn = 1
+),
+qs AS (SELECT id AS query_id, q AS qv FROM e ORDER BY id LIMIT 10),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT qs.query_id, cells.cell_id,
+               row_number() OVER (PARTITION BY qs.query_id
+                   ORDER BY {_cos_sql("qs.qv", "cells.cv")} DESC, cells.cell_id)
+                   AS rn
+        FROM qs CROSS JOIN cells
+    ) WHERE rn <= 4
+),
+lut AS (SELECT s.* FROM sub s JOIN qs ON s.id = qs.query_id),
+cand AS (
+    SELECT p.query_id, a.id AS neighbor_id
+    FROM probes p JOIN ass a USING (cell_id)
+    WHERE a.id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(sum(l.d) AS BIGINT) AS approx_d2
+    FROM cand
+    JOIN codes c ON c.id = cand.neighbor_id
+    JOIN lut l ON l.id = cand.query_id AND l.j = c.j AND l.code = c.code
+    GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, approx_d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_d2 ASC, neighbor_id) AS rank
+    FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ------------------------------------------------- curation pipeline ops
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (Rae et al. 2021) over documents —
+    one scan projection, no exchange (plan-asserted in
+    tests/test_training_ops.py).  Flags emitted as 0/1 BIGINTs so the
+    gate hashes dtype-stable integers; the boolean logic itself runs
+    on the UNROUNDED exact-rational ratios inside the operator."""
+    g = textstats.gopher_quality_flags(_docs(spark, sf_dir))
+    flag_cols = [
+        "ok_token_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords", "ok_dup_lines", "gopher_pass",
+    ]
+    return g.select(
+        F.col("doc_id").alias("id"),
+        F.col("n_tokens"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        *[F.col(c).cast("long").alias(c) for c in flag_cols],
+    )
+
+
+def _sql_gopher_quality() -> str:
+    """DuckDB twin of gopher_quality_flags at its default thresholds:
+    identical op tree (int64 counters, double division, same double
+    literals) so every boundary comparison lands on the same side."""
+    lines = "list_filter(string_split(coalesce(text, ''), chr(10)), x -> trim(x) <> '')"
+    flags = {
+        "ok_token_count": "(n_tokens >= 50 AND n_tokens <= 100000)",
+        "ok_mean_word_len": "(mean_wl >= CAST('3.0' AS DOUBLE)"
+                            " AND mean_wl <= CAST('10.0' AS DOUBLE))",
+        "ok_symbol_ratio": "(CASE WHEN n_tokens > 0 THEN"
+                           " n_symbols / n_tokens <= CAST('0.1' AS DOUBLE)"
+                           " ELSE TRUE END)",
+        "ok_bullet_lines": "(CASE WHEN n_lines > 0 THEN"
+                           " n_bullet / n_lines <= CAST('0.9' AS DOUBLE)"
+                           " ELSE TRUE END)",
+        "ok_ellipsis_lines": "(CASE WHEN n_lines > 0 THEN"
+                             " n_ellipsis / n_lines <= CAST('0.3' AS DOUBLE)"
+                             " ELSE TRUE END)",
+        "ok_alpha_words": "(CASE WHEN n_tokens > 0 THEN"
+                          " n_alpha / n_tokens >= CAST('0.8' AS DOUBLE)"
+                          " ELSE FALSE END)",
+        "ok_stopwords": "(sw >= 2)",
+        "ok_dup_lines": "(CASE WHEN n_lines > 0 THEN"
+                        " (n_lines - n_dist_lines) / n_lines"
+                        " <= CAST('0.3' AS DOUBLE) ELSE TRUE END)",
+    }
+    flag_sel = ",\n       ".join(
+        f"CAST(CASE WHEN {e} THEN 1 ELSE 0 END AS BIGINT) AS {k}"
+        for k, e in flags.items()
+    )
+    allok = " AND ".join(flags.values())
+    return f"""
+WITH t AS (
+    SELECT doc_id AS id, coalesce(text, '') AS txt, {_WORDS_SQL} AS ws,
+           {lines} AS lns
+    FROM documents
+),
+c AS (
+    SELECT id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           coalesce(CAST(list_aggregate(list_transform(ws, w -> length(w)),
+                         'sum') AS BIGINT), 0) AS token_chars,
+           CAST(length(txt) - length(regexp_replace(txt, '[#…]', '', 'g'))
+                + 3 * (len(string_split_regex(txt, '\\.\\.\\.')) - 1)
+                AS BIGINT) AS n_symbols,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, x -> regexp_matches(trim(x), '^[-*•]')))
+                AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(lns,
+                x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)\\z')))
+                AS BIGINT) AS n_ellipsis,
+           CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_distinct(list_transform(lns, x -> trim(x))))
+                AS BIGINT) AS n_dist_lines,
+           CAST(len(list_filter(ws, w -> list_contains({_EN_STOPS}, lower(w))))
+                AS BIGINT) AS sw
+    FROM t
+),
+m AS (
+    SELECT *, CASE WHEN n_tokens > 0 THEN token_chars / n_tokens
+              ELSE CAST('0.0' AS DOUBLE) END AS mean_wl
+    FROM c
+)
+SELECT id, n_tokens, round(mean_wl, 6) AS mean_word_len,
+       {flag_sel},
+       CAST(CASE WHEN {allok} THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM m
+"""
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy shard-local sequence packing (pretraining sample packing)
+    in md5 hash mode, so the ENTIRE packing plan — tokenize, shard,
+    running-offset window, bin assignment — is value-checked by the
+    DuckDB window replica; the xxhash64 production mode differs only in
+    the shard hash and stays pinned by the sequential-replay pytest."""
+    return textstats.pack_documents(
+        _docs(spark, sf_dir), budget_tokens=512, n_shards=8, hash_mode="md5"
+    )
+
+
+def _sql_pack_documents(budget: int = 512, n_shards: int = 8) -> str:
+    shard = (
+        f"CAST({_h60_sql('CAST(doc_id AS VARCHAR)')} % {n_shards} AS INTEGER)"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id AS id,
+           CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+           {shard} AS shard
+    FROM documents
+),
+r AS (
+    SELECT *,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id, n_tokens
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS s
+    FROM base
+)
+SELECT id, n_tokens, shard,
+       CAST(s // {budget} AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (PARTITION BY shard, s // {budget}
+                               ORDER BY id, n_tokens) - 1 AS BIGINT)
+           AS pos_in_bin
+FROM r
+"""
+
+
 def queries_docs() -> dict[str, object]:
     """Driver registry (docs/embeddings slice).
 
@@ -928,6 +1148,15 @@ def queries_docs() -> dict[str, object]:
         "doc_langid": q_doc_langid,
         "doc_bm25": q_doc_bm25,
         "doc_tfidf_top5": q_doc_tfidf_top5,
+        # round-6 rotation (VERDICT r5 #1): set_ops / pivot_types /
+        # revenue_forecast left the ts slice (SQL-trivial; operators
+        # also ride inside other green slots, pinned in
+        # tests/test_rotated_out_slots.py) so the r5 curation ops —
+        # gopher rules, sequence packing, and the IVF×PQ production ANN
+        # path — get value-checked CORRECTNESS rows.
+        "gopher_quality_flags": q_gopher_quality,
+        "pack_documents": q_pack_documents,
+        "emb_ivfpq_ann": q_emb_ivfpq_ann,
         "emb_knn": q_emb_knn,
         "emb_srp_ann": q_emb_srp_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
@@ -952,6 +1181,9 @@ def oracles_docs() -> dict[str, str | None]:
         "doc_langid": _langid_sql(),
         "doc_bm25": _sql_doc_bm25(),
         "doc_tfidf_top5": SQL_DOC_TFIDF_TOP5,
+        "gopher_quality_flags": _sql_gopher_quality(),
+        "pack_documents": _sql_pack_documents(),
+        "emb_ivfpq_ann": _sql_emb_ivfpq_ann(),
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_ivf_ann": _sql_emb_ivf_ann(),

@@ -1387,18 +1387,18 @@ def queries_ts() -> dict[str, object]:
         "asof_join": q_asof_join,
         "user_nation_rollup": q_user_nation_rollup,
         "pricing_summary": q_pricing_summary,
-        "revenue_forecast": q_revenue_forecast,
         "top3_per_supplier": q_top3_per_supplier,
-        # haversine / unit_scale / json_props rotated OUT of the 50-slot
-        # gate in round 5 (VERDICT r4 #1): pure scalar expressions whose
-        # operators also ride inside green queries (rotmax_scan,
-        # cascade_*, window_kernels) — their slots now value-check the
-        # training-pipeline ops doc_bm25 / doc_tfidf_top5 / emb_pq_ann
-        # (queries_docs.py).  The queries + oracles stay below, pinned
-        # by tests/test_rotated_out_slots.py.
-        "set_ops": q_set_ops,
+        # Rotated OUT of the 50-slot gate (queries + oracles stay in
+        # this module, strict-compared by tests/test_rotated_out_slots):
+        # - round 5 (VERDICT r4 #1): haversine / unit_scale / json_props
+        #   → slots went to doc_bm25 / doc_tfidf_top5 / emb_pq_ann.
+        # - round 6 (VERDICT r5 #1): set_ops / pivot_types /
+        #   revenue_forecast (SQL-trivial; distinct/union/conditional-agg
+        #   and filtered-agg semantics also ride inside cube_counts,
+        #   user_nation_rollup, pricing_summary) → slots went to
+        #   gopher_quality_flags / pack_documents / emb_ivfpq_ann
+        #   (queries_docs.py).
         "cube_counts": q_cube_counts,
-        "pivot_types": q_pivot_types,
         "taper_tukey": q_taper_tukey,
         "rotmax_scan": q_rotmax_scan,
     }
@@ -1423,11 +1423,8 @@ def oracles_ts() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "user_nation_rollup": SQL_USER_NATION_ROLLUP,
         "pricing_summary": SQL_PRICING_SUMMARY,
-        "revenue_forecast": SQL_REVENUE_FORECAST,
         "top3_per_supplier": SQL_TOP3_PER_SUPPLIER,
-        "set_ops": SQL_SET_OPS,
         "cube_counts": SQL_CUBE_COUNTS,
-        "pivot_types": SQL_PIVOT_TYPES,
         "taper_tukey": SQL_TAPER_TUKEY,
         "rotmax_scan": SQL_ROTMAX_SCAN,
     }

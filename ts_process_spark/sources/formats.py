@@ -73,7 +73,14 @@ def read_bbp(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """One BBP file (time, h1, h2, vertical) → tall rows
     (i, t, h1, h2, ver) + header metadata.  dt is inferred from the
     first two time values (get_dt, file_utilities.py:69-100) but
-    carried as data — the engine never re-infers it downstream."""
+    carried as data — the engine never re-infers it downstream.
+
+    FIXTURE-ONLY (single file): the dt probe below is a driver
+    ``orderBy.limit(2).collect()`` round-trip per file — fine for one
+    test fixture, a serialization point for an ingest of 10^5 station
+    files.  Bulk ingest MUST go through :func:`read_bbp_bulk`, which
+    derives dt in-plan per file with window functions and never
+    touches the driver."""
     meta = read_bbp_headers(path)
     df = _data_rows(spark, path, 4).select(
         F.col("c0").alias("t"),
