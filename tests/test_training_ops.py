@@ -485,6 +485,41 @@ def test_bucket_pairs_two_level_split(spark):
     r = md.collect()[0]
     assert r.n_dropped_buckets == 2 and r.n_split_buckets == 0
     assert r.n_dropped_sub_buckets == 0
+    # empty keyed input: every counter is 0, never NULL (ADVICE r5)
+    empty = spark.createDataFrame([], "id long, band int, bh long, bh2 long")
+    for kwargs in ({}, {"salt_col": "bh2"}):
+        row = dedup.bucket_cap_metrics(
+            empty, ["band", "bh"], max_bucket=20, **kwargs
+        ).collect()[0]
+        assert all(v == 0 for v in row.asDict().values()), (kwargs, row)
+
+
+def test_bucket_pair_expansion_streams(spark):
+    """VERDICT r5 #3: the within-bucket pair expansion must never build
+    the full n(n-1)/2 pair array inside one row.  (a) Plan contract:
+    the expansion is two chained generators (posexplode anchors, then
+    explode of each anchor's tail slice) with NO flatten-of-transforms
+    node — the per-row transient is O(bucket size), not O(bucket²).
+    (b) Semantics: pair sets identical to itertools.combinations on a
+    bucket at the cap boundary, and the existing fixtures' pair sets
+    (test_bucket_pairs_two_level_split above) are unchanged."""
+    from itertools import combinations
+
+    n = 2000  # one hot bucket exactly at the cap
+    keyed = spark.createDataFrame(
+        [(i, 0) for i in range(n)], "id long, band int"
+    ).repartition(8)
+    pairs = dedup._bucket_pairs(keyed, ["band"], max_bucket=n)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "flatten" not in plan.lower(), plan
+    assert plan.count("Generate") == 2, plan
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == set(combinations(range(n), 2))
+    # one over the cap -> dropped entirely (policy unchanged)
+    keyed2 = spark.createDataFrame(
+        [(i, 0) for i in range(n + 1)], "id long, band int"
+    )
+    assert dedup._bucket_pairs(keyed2, ["band"], max_bucket=n).count() == 0
 
 
 def test_bm25_matches_duckdb_oracle(spark):
