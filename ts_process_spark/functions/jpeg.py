@@ -1,19 +1,29 @@
-"""Native baseline JPEG codec — pure NumPy, no libjpeg/PIL.
+"""Native JPEG codec — pure NumPy, no libjpeg/PIL.
 
-Decoder: baseline sequential (SOF0), 8-bit, grayscale and 3-component
-YCbCr with arbitrary power-of-two sampling factors (4:4:4 / 4:2:2 /
-4:2:0), restart intervals, marker-segment walking with byte-stuffed
-entropy streams.  Verified against real libjpeg-encoded files shipped
-inside this container (tests/test_training_ops.py::test_jpeg_codec —
-a 4:2:0 photo with restart markers, a 4:4:4 color image, a grayscale
-thumbnail).  Progressive/arithmetic/12-bit JPEG raise
+Decoder: baseline sequential (SOF0) AND progressive (SOF2, T.81
+Annex G: spectral selection + successive approximation, DC/AC first
+and refinement scans with EOB-run coding), 8-bit, grayscale and
+3-component YCbCr with arbitrary power-of-two sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals, marker-segment walking
+with byte-stuffed entropy streams.  The baseline path is verified
+against real libjpeg-encoded files shipped inside this container
+(tests/test_training_ops.py::test_jpeg_codec — a 4:2:0 photo with
+restart markers, a 4:4:4 color image, a grayscale thumbnail); the
+progressive path is pinned by the invariant that a progressive file
+carrying the same quantized coefficients decodes BIT-IDENTICALLY to
+its baseline twin (scans only reorder coefficient bits).
+Arithmetic-coded/12-bit/lossless/hierarchical JPEG raise
 NotImplementedError.
 
-Encoder: grayscale or RGB 4:4:4 with a fixed quality-90-ish luminance
+Encoders: grayscale or RGB 4:4:4 with a fixed quality-90-ish luminance
 quant table and SELF-BUILT canonical Huffman tables (every RRRRSSSS
 symbol gets an 8/9-bit code — deliberately suboptimal but spec-valid,
 which is what lets this module avoid transcribing the Annex K tables);
 used to generate deterministic fixtures for the decode path.
+``encode_jpeg_progressive`` emits a 4-kind scan script (DC first at
+Al=1, DC refinement, per-component AC first at Al=1, per-component AC
+refinement to Al=0) so every progressive decode path — EOB runs, ZRL,
+correction bits — is exercised by roundtrips.
 
 The per-block loops are Python — this codec runs inside mapInPandas
 batches where the surrounding Spark plan is the part that must scale;
@@ -139,7 +149,9 @@ def _encode_block(bw, block, prev_dc, dc_codes, ac_codes, q):
     return int(zz[0])
 
 
-def encode_jpeg(img):
+def _comp_planes(img):
+    """uint8 image → (h, w), list of float64 component planes
+    (gray → [Y]; RGB → [Y, Cb, Cr]) — shared by both encoders."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
@@ -151,7 +163,11 @@ def encode_jpeg(img):
         planes = [y, cb, cr]
     else:
         raise ValueError("expected (H, W) gray or (H, W, 3) RGB uint8")
-    h, w = img.shape[:2]
+    return img.shape[:2], planes
+
+
+def encode_jpeg(img):
+    (h, w), planes = _comp_planes(img)
     nc = len(planes)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
@@ -190,6 +206,254 @@ def encode_jpeg(img):
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bytes(bw.buf) + b"\xff\xd9"
+    return out
+
+
+def _quantized_blocks(planes, h, w):
+    """Pad to 8×8 blocks, forward-DCT and quantize: one (ncy, ncx, 64)
+    zigzag int64 array per component — the coefficient state both
+    encoders code from (identical math to _encode_block's first two
+    lines, batched)."""
+    padded = [
+        np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") - 128.0
+        for p in planes
+    ]
+    H, W = padded[0].shape
+    ncy, ncx = H // 8, W // 8
+    q = QTABLE.astype(np.float64)
+    out = []
+    for p in padded:
+        z = np.zeros((ncy, ncx, 64), np.int64)
+        for by in range(ncy):
+            for bx in range(ncx):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                # the EXACT op tree of _encode_block — same matmul/round
+                # path, so a progressive file carries bit-identical
+                # coefficients to its baseline twin
+                z[by, bx] = np.round(
+                    (_C @ blk @ _C.T) / q
+                ).astype(np.int64).ravel()[ZIGZAG]
+        out.append(z)
+    return ncy, ncx, out
+
+
+def _eob_sym(bw, ac_codes, eobrun):
+    """Emit an EOBn code: category = floor(log2(run)), low bits appended
+    (T.81 G.1.2.2) — the decoder reconstructs run-1 remaining blocks."""
+    nb = eobrun.bit_length() - 1
+    c, ln = ac_codes[nb << 4]
+    bw.put(c, ln)
+    if nb:
+        bw.put(eobrun - (1 << nb), nb)
+
+
+def _restart(bw, rst):
+    """Byte-align and emit RSTn (cycling 0-7) into the entropy buffer."""
+    bw.flush()
+    bw.buf += bytes([0xFF, 0xD0 + rst % 8])
+    return rst + 1
+
+
+def _enc_ac_first(z, ss, se, al, ac_codes, ri=0):
+    """AC first scan (Ah=0) of one component: point-transformed
+    (truncate-toward-zero by Al) run/size coding with cross-block
+    EOB runs.  ``ri``: restart interval in blocks (EOB run cannot
+    straddle a restart)."""
+    bw = BitWriter()
+    eobrun = 0
+    ncy, ncx = z.shape[:2]
+    rst = unit = 0
+    for by in range(ncy):
+        for bx in range(ncx):
+            if ri and unit and unit % ri == 0:
+                if eobrun:
+                    _eob_sym(bw, ac_codes, eobrun)
+                    eobrun = 0
+                rst = _restart(bw, rst)
+            unit += 1
+            band = z[by, bx, ss:se + 1]
+            vals = np.sign(band) * (np.abs(band) >> al)
+            r = 0
+            for v in map(int, vals):
+                if v == 0:
+                    r += 1
+                    continue
+                if eobrun:
+                    _eob_sym(bw, ac_codes, eobrun)
+                    eobrun = 0
+                while r > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                s, bits = _mag_bits(v)
+                c, ln = ac_codes[(r << 4) | s]
+                bw.put(c, ln)
+                bw.put(bits, s)
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    _eob_sym(bw, ac_codes, eobrun)
+                    eobrun = 0
+    if eobrun:
+        _eob_sym(bw, ac_codes, eobrun)
+    bw.flush()
+    return bw
+
+
+def _enc_ac_refine(z, ss, se, al, ac_codes, ri=0):
+    """AC refinement scan (Ah=Al+1) of one component — the
+    correction-bit protocol (T.81 G.1.2.3, the flowchart libjpeg's
+    encode_mcu_AC_refine implements): newly-nonzero coefficients are
+    run/1 symbols whose runs count only zero-history positions; each
+    nonzero-history coefficient passed buffers one correction bit,
+    flushed after the next emitted symbol; ZRLs are emitted only up to
+    the last newly-nonzero index (later ones fold into the EOB run),
+    and the EOB run carries every tail correction bit of its blocks."""
+    bw = BitWriter()
+    eobrun = 0
+    pending = []  # correction bits riding the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun == 0:
+            return
+        _eob_sym(bw, ac_codes, eobrun)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        eobrun = 0
+
+    ncy, ncx = z.shape[:2]
+    rst = unit = 0
+    for by in range(ncy):
+        for bx in range(ncx):
+            if ri and unit and unit % ri == 0:
+                flush_eob()
+                rst = _restart(bw, rst)
+            unit += 1
+            band = [int(v) for v in z[by, bx, ss:se + 1]]
+            absv = [abs(v) >> al for v in band]
+            eob_idx = max(
+                (i for i, a in enumerate(absv) if a == 1), default=-1
+            )
+            r = 0
+            buf = []  # this block's correction bits since last symbol
+            for i, (v, a) in enumerate(zip(band, absv)):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob_idx:
+                    flush_eob()
+                    c, ln = ac_codes[0xF0]
+                    bw.put(c, ln)
+                    r -= 16
+                    for b in buf:
+                        bw.put(b, 1)
+                    buf = []
+                if a > 1:
+                    buf.append(a & 1)
+                    continue
+                flush_eob()
+                c, ln = ac_codes[(r << 4) | 1]
+                bw.put(c, ln)
+                bw.put(1 if v > 0 else 0, 1)
+                for b in buf:
+                    bw.put(b, 1)
+                buf = []
+                r = 0
+            if r > 0 or buf:
+                eobrun += 1
+                pending.extend(buf)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    bw.flush()
+    return bw
+
+
+def encode_jpeg_progressive(img, restart_interval=0):
+    """Progressive (SOF2) twin of encode_jpeg: the SAME quantized
+    coefficients, delivered by a scan script that exercises every
+    progressive decode path — DC first at Al=1, DC refinement,
+    per-component AC first at Al=1 (spectral band 1-63), per-component
+    AC refinement to Al=0.  decode_jpeg(encode_jpeg_progressive(x)) is
+    therefore BIT-IDENTICAL to decode_jpeg(encode_jpeg(x)).
+    ``restart_interval`` (MCUs; 0 = none) additionally pins the
+    progressive restart path — markers byte-align and reset DC
+    predictors and EOB runs in every scan kind."""
+    (h, w), planes = _comp_planes(img)
+    nc = len(planes)
+    ri = int(restart_interval)
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    ncy, ncx, zz = _quantized_blocks(planes, h, w)
+
+    scans = []  # (scan component indices, Ss, Se, Ah, Al, BitWriter)
+    # DC first, interleaved (Al=1): diffs coded in the shifted domain
+    bw = BitWriter()
+    prev = [0] * nc
+    rst = unit = 0
+    for by in range(ncy):
+        for bx in range(ncx):
+            if ri and unit and unit % ri == 0:
+                rst = _restart(bw, rst)
+                prev = [0] * nc
+            unit += 1
+            for ci in range(nc):
+                v = int(zz[ci][by, bx, 0]) >> 1  # arithmetic shift (G.1.2.1)
+                s, bits = _mag_bits(v - prev[ci])
+                c, ln = dc_codes[s]
+                bw.put(c, ln)
+                if s:
+                    bw.put(bits, s)
+                prev[ci] = v
+    bw.flush()
+    scans.append((list(range(nc)), 0, 0, 0, 1, bw))
+    # DC refinement: one appended bit per block (two's-complement low
+    # bit matches the decoder's |= of bit Al)
+    bw = BitWriter()
+    rst = unit = 0
+    for by in range(ncy):
+        for bx in range(ncx):
+            if ri and unit and unit % ri == 0:
+                rst = _restart(bw, rst)
+            unit += 1
+            for ci in range(nc):
+                bw.put(int(zz[ci][by, bx, 0]) & 1, 1)
+    bw.flush()
+    scans.append((list(range(nc)), 0, 0, 1, 0, bw))
+    for ci in range(nc):
+        scans.append(
+            ([ci], 1, 63, 0, 1, _enc_ac_first(zz[ci], 1, 63, 1, ac_codes, ri))
+        )
+    for ci in range(nc):
+        scans.append(
+            ([ci], 1, 63, 1, 0, _enc_ac_refine(zz[ci], 1, 63, 0, ac_codes, ri))
+        )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qz = QTABLE.ravel()[ZIGZAG]
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    if ri:
+        out += seg(0xDD, struct.pack(">H", ri))
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    for cis, ss, se, ah, al, bw in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += bytes(bw.buf)
+    out += b"\xff\xd9"
     return out
 
 
@@ -288,6 +552,8 @@ def decode_jpeg(payload):
     ri = 0
     h = w = None
     comps = []  # (cid, hsamp, vsamp, tq)
+    progressive = False
+    coefs = None  # progressive: cid -> (nby, nbx, 64) zigzag int64
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -301,6 +567,8 @@ def decode_jpeg(payload):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if progressive and coefs is not None:
+                return _reconstruct_progressive(coefs, comps, qt, h, w)
             raise ValueError("JPEG has no scan")
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG segment header")
@@ -327,7 +595,8 @@ def decode_jpeg(payload):
                 nv = sum(bits)
                 ht[(tc, th)] = _decode_tree(bits, list(body[i+17:i+17+nv]))
                 i += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
@@ -336,27 +605,69 @@ def decode_jpeg(payload):
                 samp = body[7 + 3 * ci]
                 tq = body[8 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG")
+            raise NotImplementedError(
+                "unsupported JPEG coding process (arithmetic/12-bit/"
+                "lossless/hierarchical)"
+            )
         elif marker == 0xDD:
             ri = struct.unpack(">H", body)[0]
         elif marker == 0xDA:
             ns = body[0]
-            if ns != len(comps):
-                raise NotImplementedError("multi-scan JPEG")
-            tsel = {}
+            scomps = []  # (cid, dc table, ac table) in scan order
             for si in range(ns):
-                cid = body[1 + 2 * si]
-                tt = body[2 + 2 * si]
-                tsel[cid] = (tt >> 4, tt & 15)
+                scomps.append(
+                    (body[1 + 2 * si], body[2 + 2 * si] >> 4,
+                     body[2 + 2 * si] & 15)
+                )
+            if h is None:
+                raise ValueError("SOS before SOF")
+            known = {c[0] for c in comps}
+            if any(cid not in known for cid, _, _ in scomps):
+                raise ValueError("SOS/SOF component id mismatch")
+            if any(tq not in qt for _, _, _, tq in comps):
+                raise ValueError("undefined JPEG quant table")
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if ss > se or se > 63 or (ss == 0) != (se == 0):
+                    raise ValueError("bad progressive spectral band")
+                if ss > 0 and ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                # only the tables a scan of this kind actually reads
+                # must exist (DC refinement scans use none at all)
+                for cid, td, ta in scomps:
+                    if ss == 0 and ah == 0 and (0, td) not in ht:
+                        raise ValueError("undefined JPEG Huffman table")
+                    if ss > 0 and (1, ta) not in ht:
+                        raise ValueError("undefined JPEG Huffman table")
+                if coefs is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    coefs = {
+                        cid: np.zeros((mcuy * vs, mcux * hs, 64), np.int64)
+                        for cid, hs, vs, tq in comps
+                    }
+                end = _entropy_end(payload, pos)
+                _progressive_scan(
+                    payload[pos:end], scomps, ss, se, ah, al,
+                    comps, coefs, ht, ri, w, h,
+                )
+                pos = end
+                continue
+            # ---- baseline: exactly one scan, decode and return
+            if ns != len(comps):
+                raise NotImplementedError("multi-scan baseline JPEG")
+            tsel = {cid: (td, ta) for cid, td, ta in scomps}
             # corrupt files referencing undefined tables/components must
             # fail with the loud-ValueError contract, not KeyError
             for cid, hs, vs, tq in comps:
                 if cid not in tsel:
                     raise ValueError("SOS/SOF component id mismatch")
-                if tq not in qt:
-                    raise ValueError("undefined JPEG quant table")
                 if (0, tsel[cid][0]) not in ht or (1, tsel[cid][1]) not in ht:
                     raise ValueError("undefined JPEG Huffman table")
             if ns == 1:
@@ -369,6 +680,8 @@ def decode_jpeg(payload):
             if end < 0:
                 raise ValueError("missing EOI")
             return _decode_frame(scan[:end], h, w, comps, tsel, qt, ht, ri)
+    if progressive and coefs is not None:
+        raise ValueError("missing EOI")  # truncated progressive tail
     raise ValueError("no SOS marker")
 
 
@@ -399,6 +712,13 @@ def _decode_frame(data, h, w, comps, tsel, qt, ht, ri=0):
                         y0 = (my * vs + by) * 8
                         x0 = (mx * hs + bx) * 8
                         planes[cid][y0:y0+8, x0:x0+8] = blk
+    return _assemble(planes, comps, h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Upsample per-component planes, crop to (h, w), level-shift and
+    color-convert — the shared tail of the baseline and progressive
+    reconstruction paths."""
     full = []
     for cid, hs, vs, tq in comps:
         p = planes[cid]
@@ -415,3 +735,178 @@ def _decode_frame(data, h, w, comps, tsel, qt, ht, ri=0):
             np.round(np.stack([r, g, b], axis=-1)), 0, 255
         ).astype(np.uint8)
     raise NotImplementedError(f"{len(full)}-component JPEG")
+
+
+# ---------------------------------------------------------- progressive
+
+
+def _entropy_end(payload, pos):
+    """First offset ≥ pos of a real marker (0xFF followed by anything
+    but a stuffed 0x00 or a restart code) — the end of a scan's
+    entropy-coded span."""
+    i = pos
+    while i + 1 < len(payload):
+        if (payload[i] == 0xFF and payload[i + 1] != 0x00
+                and not 0xD0 <= payload[i + 1] <= 0xD7):
+            return i
+        i += 1
+    raise ValueError("unterminated JPEG scan")
+
+
+def _scan_units(scomps, comps, w, h):
+    """Restart-interval units of one scan: each unit is the list of
+    (cid, block_y, block_x) data units of one MCU.  Interleaved scans
+    (ns > 1) walk the MCU grid with each component's sampling-factor
+    sub-blocks; a single-component scan is NON-interleaved (T.81
+    B.2.3): one data unit per MCU, raster order over THAT component's
+    own (non-MCU-padded) block grid."""
+    cinfo = {cid: (hs, vs) for cid, hs, vs, tq in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(scomps) > 1:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for cid, _, _ in scomps:
+                    hs, vs = cinfo[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit.append((cid, my * vs + by, mx * hs + bx))
+                units.append(unit)
+        return units
+    cid = scomps[0][0]
+    hs, vs = cinfo[cid]
+    cw = -(-(w * hs) // hmax)  # component dims (T.81 A.1.1)
+    ch = -(-(h * vs) // vmax)
+    ncx = -(-cw // 8)
+    ncy = -(-ch // 8)
+    return [[(cid, by, bx)] for by in range(ncy) for bx in range(ncx)]
+
+
+def _ac_first(br, cf, ss, se, al, eobrun, actree):
+    """One block of an AC first scan (Ah=0): baseline run/size coding
+    plus EOB-run codes (RRRR with SSSS=0 → skip 2^RRRR+bits blocks)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_sym(br, actree)
+        r, s = sym >> 4, sym & 15
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflow")
+            cf[k] = _extend(br.bits(s), s) << al
+            k += 1
+        elif r == 15:
+            k += 16  # ZRL
+        else:
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+    return eobrun
+
+
+def _ac_refine(br, cf, ss, se, al, eobrun, actree):
+    """One block of an AC refinement scan (Ah=Al+1): newly-nonzero
+    coefficients arrive as run/1 symbols whose runs count only
+    zero-history positions; every nonzero-history position passed (and,
+    once in an EOB run, every one to the end of the band) consumes a
+    correction bit (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_sym(br, actree)
+            r, s = sym >> 4, sym & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if br.bit() else -p1
+            elif r < 15:
+                # the run count INCLUDES this block: its correction-bit
+                # tail below still runs, then the run decrements (the
+                # AC-first path instead folds its decrement in at once,
+                # since a first-scan block needs no tail processing)
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                break  # correction-bit tail below finishes the band
+            # advance past r zero-history positions (16 for ZRL),
+            # correcting every nonzero-history coefficient on the way
+            while k <= se:
+                if cf[k] != 0:
+                    if br.bit() and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement overflow")
+                cf[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if cf[k] != 0:
+                if br.bit() and (cf[k] & p1) == 0:
+                    cf[k] += p1 if cf[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(data, scomps, ss, se, ah, al, comps, coefs, ht, ri,
+                      w, h):
+    """Apply one progressive scan's entropy data to the coefficient
+    state: DC first (Ah=0, diff-coded then <<Al) / DC refinement (one
+    appended bit per block) / AC first / AC refinement.  Restart
+    markers byte-align and reset both DC predictors and the EOB run."""
+    br = BitReader(data)
+    units = _scan_units(scomps, comps, w, h)
+    dctrees = {cid: ht.get((0, td)) for cid, td, _ in scomps}
+    actree = ht.get((1, scomps[0][2])) if ss > 0 else None
+    prev = {cid: 0 for cid, _, _ in scomps}
+    eobrun = 0
+    for ui, unit in enumerate(units):
+        if ri and ui and ui % ri == 0:
+            br.sync_restart()
+            prev = {cid: 0 for cid, _, _ in scomps}
+            eobrun = 0
+        for cid, by, bx in unit:
+            cf = coefs[cid][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    s = _read_sym(br, dctrees[cid])
+                    prev[cid] += _extend(br.bits(s), s) if s else 0
+                    cf[0] = prev[cid] << al
+                elif br.bit():
+                    cf[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(br, cf, ss, se, al, eobrun, actree)
+            else:
+                eobrun = _ac_refine(br, cf, ss, se, al, eobrun, actree)
+
+
+def _reconstruct_progressive(coefs, comps, qt, h, w):
+    """Dequantize + IDCT the accumulated coefficient state (vectorized
+    over all blocks) and assemble exactly like the baseline path."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        arr = coefs[cid]
+        nby, nbx = arr.shape[:2]
+        dz = np.zeros((nby, nbx, 64), np.int64)
+        dz[:, :, ZIGZAG] = arr
+        blocks = dz.reshape(nby, nbx, 8, 8) * qt[tq]
+        sp = np.einsum("ab,yxbc,cd->yxad", _C.T, blocks, _C)
+        planes[cid] = sp.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    return _assemble(planes, comps, h, w, hmax, vmax)

@@ -15,12 +15,13 @@ PCM16 WAV parse natively (pure NumPy/struct), and three genuinely
 COMPRESSED formats decode natively — PNG through stdlib zlib (all five
 scanline filters, gray/RGB/alpha, chunk CRCs verified), GIF through
 pure-Python LZW (width growth, dictionary clears, extension skipping),
-and baseline JPEG through a pure-NumPy Huffman+IDCT pipeline
-(functions/jpeg.py: 4:4:4/4:2:2/4:2:0, restart intervals, verified
-against real libjpeg files shipped in this container) — with
-pixel/sample-level features in ``extract_decoded_features``.
-Progressive JPEG, palette PNG, interlaced formats, and FLAC/MP3 audio
-remain the honest NotImplementedError boundary.
+and JPEG — baseline AND progressive — through a pure-NumPy
+Huffman+IDCT pipeline (functions/jpeg.py: 4:4:4/4:2:2/4:2:0, restart
+intervals, spectral-selection + successive-approximation scan scripts,
+verified against real libjpeg files shipped in this container, both
+sequential and progressive) — with pixel/sample-level features in
+``extract_decoded_features``.  Palette PNG, interlaced formats, and
+FLAC/MP3 audio remain the honest NotImplementedError boundary.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -451,10 +452,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode dispatch: BMP, PNG, GIF, and baseline JPEG are all
-    implemented natively (pure NumPy + stdlib zlib / pure-Python LZW
-    and Huffman — no codec library).  Progressive JPEG, palette PNG,
-    interlaced formats, and FLAC/MP3 audio remain the honest
+    """Image decode dispatch: BMP, PNG, GIF, and JPEG (baseline and
+    progressive) are all implemented natively (pure NumPy + stdlib
+    zlib / pure-Python LZW and Huffman — no codec library).  Palette
+    PNG, interlaced formats, and FLAC/MP3 audio remain the honest
     NotImplementedError boundary."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
@@ -467,7 +468,7 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "unrecognized image format (beyond BMP/PNG/GIF/baseline JPEG)"
+        "unrecognized image format (beyond BMP/PNG/GIF/JPEG)"
     )
 
 
