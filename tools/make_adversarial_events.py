@@ -111,6 +111,60 @@ def main() -> None:
         (13, "👨‍👩‍👧‍👦 family emoji zwj sequence 🏳️‍🌈", "und"),
         (14, "ASCII only but with  double  spaces and trailing ", "en"),
     ]
+    # ---- round-6 additions (VERDICT r5 #8): exact rule/cap boundaries
+    # gopher_quality_flags boundary docs — each lands EXACTLY on a rule
+    # threshold, so any cross-engine drift in the ratio comparisons
+    # flips a flag and the gate catches it
+    texts += [
+        # exactly min_tokens=50 tokens, all 3-char (mean_wl == 3.0
+        # lower bound), exactly min_stopword_hits=2
+        (15, "the the " + " ".join(f"w{i:02d}" for i in range(48)), "en"),
+        # one token below the min_tokens boundary
+        (16, "the the " + " ".join(f"w{i:02d}" for i in range(47)), "en"),
+        # mean word length exactly at the 10.0 upper bound, 0 stopwords
+        (17, " ".join("abcdefghij" for _ in range(50)), "en"),
+        # symbol ratio exactly 0.1 (2 '#' tokens / 20 tokens) with an
+        # '…' and a '...' elsewhere IN tokens (3+1 more symbols would
+        # break the boundary, so they live in a separate doc)
+        (18, "# # " + " ".join(f"s{i}" for i in range(18)), "en"),
+        # symbol ratio just over: 3 symbols / 20 tokens = 0.15, mixing
+        # '#', '…' and a '...' run (the 3-char split-count path)
+        (19, "# … wait... " + " ".join(f"t{i}" for i in range(17)), "en"),
+        # line-rule boundaries in ONE doc: 10 non-empty lines (blank
+        # lines interspersed must be ignored), exactly 9 bulleted
+        # (0.9 == max_bullet_frac), exactly 3 ellipsis-terminated
+        # (0.3 == max_ellipsis_frac), exactly 3 duplicate lines
+        # (dup frac 0.3 == max_dup_line_frac)
+        (20, "\n\n".join(
+            ["- alpha beta ...", "- gamma delta …", "• epsilon zeta ...  ",
+             "- eta theta", "- iota kappa", "- lam mu", "- lam mu",
+             "- eta theta", "- iota kappa", "plain closing line"]
+        ), "en"),
+        # alpha-word fraction exactly 0.8: 8 lettered / 10 tokens
+        (21, "ab cd ef gh ij kl mn op 12 34", "en"),
+        # pack_documents budget boundaries (gate budget_tokens=512):
+        # exactly at, one under, one over (oversized straddler), and
+        # two half-budget docs whose running sum can land exactly on a
+        # bin edge
+        (22, " ".join(f"p{i}" for i in range(512)), "en"),
+        (23, " ".join(f"q{i}" for i in range(511)), "en"),
+        (24, " ".join(f"r{i}" for i in range(513)), "en"),
+        (25, " ".join(f"u{i}" for i in range(256)), "en"),
+        (26, " ".join(f"v{i}" for i in range(256)), "en"),
+        # exact word-set Jaccard 0.9 pair (9 shared / 10 union) on the
+        # ≥ 0.9 gate threshold, same lang block
+        (27, " ".join(f"jj{i}" for i in range(10)), "en"),
+        (28, " ".join(f"jj{i}" for i in range(9)), "en"),
+    ]
+    # hot LSH bucket: 30 identical docs share EVERY band bucket →
+    # 435-pair clique through minhash/simhash/exact dedup, the
+    # connected-components keep list, and the (under-cap) hot-bucket
+    # expansion path end-to-end through the gate queries
+    texts += [
+        (30 + i, "hot bucket boilerplate template cluster sentence "
+                 "repeated verbatim across the corpus", "en")
+        for i in range(30)
+    ]
     docs = pd.DataFrame(
         [(i, t, lg, f"src{i % 3}", len(t) if t is not None else 0)
          for i, t, lg in texts],
