@@ -127,8 +127,9 @@ def main() -> None:
         # '…' and a '...' elsewhere IN tokens (3+1 more symbols would
         # break the boundary, so they live in a separate doc)
         (18, "# # " + " ".join(f"s{i}" for i in range(18)), "en"),
-        # symbol ratio just over: 3 symbols / 20 tokens = 0.15, mixing
-        # '#', '…' and a '...' run (the 3-char split-count path)
+        # symbol ratio over the bound: '#' (1) + '…' (1) + one '...'
+        # run (3) = 5 symbols / 20 tokens = 0.25, mixing all three
+        # symbol kinds incl. the 3-chars-per-'...' split-count path
         (19, "# … wait... " + " ".join(f"t{i}" for i in range(17)), "en"),
         # line-rule boundaries in ONE doc: 10 non-empty lines (blank
         # lines interspersed must be ignored), exactly 9 bulleted
@@ -142,10 +143,10 @@ def main() -> None:
         ), "en"),
         # alpha-word fraction exactly 0.8: 8 lettered / 10 tokens
         (21, "ab cd ef gh ij kl mn op 12 34", "en"),
-        # pack_documents budget boundaries (gate budget_tokens=512):
-        # exactly at, one under, one over (oversized straddler), and
-        # two half-budget docs whose running sum can land exactly on a
-        # bin edge
+        # pack_documents at/near-budget token counts (gate
+        # budget_tokens=512): exactly at, one under, one over — the
+        # EXACT bin-edge landings are engineered separately below,
+        # since md5 sharding decides which shard these land in
         (22, " ".join(f"p{i}" for i in range(512)), "en"),
         (23, " ".join(f"q{i}" for i in range(511)), "en"),
         (24, " ".join(f"r{i}" for i in range(513)), "en"),
@@ -165,6 +166,50 @@ def main() -> None:
                  "repeated verbatim across the corpus", "en")
         for i in range(30)
     ]
+
+    # EXACT pack_documents bin edges under the gate config (review r6:
+    # the at-budget docs above land in md5 shards where no running sum
+    # reaches a nonzero multiple of the budget).  Self-adjusting: pick
+    # one md5 shard, sum the tokens already packed before our ids, pad
+    # the cumsum to the next bin edge, then place a doc that starts
+    # EXACTLY on an edge and fills its bin EXACTLY, a straddler that
+    # starts exactly on the next edge, and a 1-token probe after it.
+    import hashlib
+    import re as _re
+
+    budget, n_shards = 512, 8
+
+    def _shard(doc_id):
+        return int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+        ) % n_shards
+
+    def _ntok(t):
+        if t is None:
+            return 0
+        return len([w for w in _re.split("[ \t\n\x0b\f\r]+", t) if w])
+
+    target = _shard(101)  # any shard; anchored to the first new id
+    new_ids = [i for i in range(101, 400) if _shard(i) == target][:4]
+    assert len(new_ids) == 4 and all(i > max(t[0] for t in texts)
+                                     for i in new_ids)
+    cum = sum(_ntok(t) for i, t, _ in texts if _shard(i) == target)
+    pad = (-cum) % budget
+    if pad == 0:
+        pad = budget  # keep the filler non-empty, edge stays exact
+    texts += [
+        (new_ids[0], " ".join(f"fill{k}" for k in range(pad)), "en"),
+        (new_ids[1], " ".join(f"ex{k}" for k in range(budget)), "en"),
+        (new_ids[2], " ".join(f"ov{k}" for k in range(budget + 1)), "en"),
+        (new_ids[3], "tailprobe", "en"),
+    ]
+    # the engineered geometry, verified at generation time so future
+    # fixture edits cannot silently rot it: new_ids[1] starts on a
+    # nonzero bin edge and fills its bin exactly; new_ids[2] starts on
+    # the next edge and straddles by one token
+    start = cum + pad
+    assert start % budget == 0 and start > 0
+    assert (start + budget) % budget == 0
     docs = pd.DataFrame(
         [(i, t, lg, f"src{i % 3}", len(t) if t is not None else 0)
          for i, t, lg in texts],
