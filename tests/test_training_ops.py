@@ -1552,3 +1552,94 @@ def test_jpeg_progressive(spark):
     # loud-error contract: truncated progressive tail, missing EOI
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(pb[:-10])
+
+
+def test_jpeg_progressive_subsampled():
+    """Progressive + chroma subsampling (review r6): the in-repo
+    progressive encoder emits only 4:4:4 and every container fixture is
+    4:4:4/gray, so the subsampled _scan_units branches — interleaved DC
+    over the MCU grid with per-component sub-blocks, and the
+    non-interleaved AC walk over a component's OWN ceil(w·hs/hmax)
+    block grid (smaller than the MCU-padded coefficient array) — had no
+    test.  Synthesize a 4:2:0 progressive file from known coefficients
+    with the module's own primitives and require decode_jpeg to
+    reproduce EXACTLY the reconstruction of the coefficient state the
+    scans can express (AC outside the non-interleaved grid stays 0)."""
+    import struct
+
+    import numpy as np
+
+    from ts_process_spark.functions import jpeg
+
+    rng = np.random.default_rng(31)
+    h, w = 24, 20                       # mcuy=2, mcux=2 at 2x2 sampling
+    comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]  # Y 4:2:0
+    grids = {1: (4, 4), 2: (2, 2), 3: (2, 2)}  # MCU-padded block grids
+    coef = {
+        cid: rng.integers(-40, 41, (gy, gx, 64)).astype(np.int64)
+        for cid, (gy, gx) in grids.items()
+    }
+    dc_codes = jpeg._canonical_codes(jpeg.DC_BITS, jpeg.DC_VALS)
+    ac_codes = jpeg._canonical_codes(jpeg.AC_BITS, jpeg.AC_VALS)
+    # --- DC first (Al=1) + refinement, interleaved over the MCU grid
+    bw1, bw2 = jpeg.BitWriter(), jpeg.BitWriter()
+    prev = {1: 0, 2: 0, 3: 0}
+    for my in range(2):
+        for mx in range(2):
+            for cid, hs, vs, _ in comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(coef[cid][my * vs + by, mx * hs + bx, 0])
+                        v = dc >> 1
+                        s, bits = jpeg._mag_bits(v - prev[cid])
+                        c, ln = dc_codes[s]
+                        bw1.put(c, ln)
+                        if s:
+                            bw1.put(bits, s)
+                        prev[cid] = v
+                        bw2.put(dc & 1, 1)
+    bw1.flush()
+    bw2.flush()
+    # --- non-interleaved AC scans walk each component's OWN grid:
+    # Y: cw=ceil(20*2/2)=20 → 3 block cols, ch=24 → 3 rows (NOT the
+    # 4x4 MCU-padded array); chroma: 10x12 → full 2x2
+    ac_grids = {1: (3, 3), 2: (2, 2), 3: (2, 2)}
+    allc = [(1, 0), (2, 0), (3, 0)]
+    scans = [(allc, 0, 0, 0, 1, bw1), (allc, 0, 0, 1, 0, bw2)]
+    for cid, _, _, _ in comps:
+        gy, gx = ac_grids[cid]
+        sub = coef[cid][:gy, :gx]
+        scans.append(([(cid, 0)], 1, 63, 0, 1,
+                      jpeg._enc_ac_first(sub, 1, 63, 1, ac_codes)))
+        scans.append(([(cid, 0)], 1, 63, 1, 0,
+                      jpeg._enc_ac_refine(sub, 1, 63, 0, ac_codes)))
+    # --- assemble the SOF2 file by hand (4:2:0 sampling bytes)
+    qz = jpeg.QTABLE.ravel()[jpeg.ZIGZAG]
+    out = b"\xff\xd8"
+    out += jpeg._seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += jpeg._seg(0xC2, sof)
+    out += jpeg._seg(
+        0xC4, bytes([0x00]) + bytes(jpeg.DC_BITS) + bytes(jpeg.DC_VALS))
+    out += jpeg._seg(
+        0xC4, bytes([0x10]) + bytes(jpeg.AC_BITS) + bytes(jpeg.AC_VALS))
+    for cis, ss, se, ah, al, bw in scans:
+        sos = bytes([len(cis)])
+        for cid, ta in cis:
+            sos += bytes([cid, ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += jpeg._seg(0xDA, sos)
+        out += bytes(bw.buf)
+    out += b"\xff\xd9"
+    # --- expected: the exact coefficient state the scans can express
+    expect = {cid: arr.copy() for cid, arr in coef.items()}
+    gy, gx = ac_grids[1]
+    expect[1][gy:, :, 1:] = 0
+    expect[1][:, gx:, 1:] = 0
+    qt = {0: jpeg.QTABLE}
+    want = jpeg._reconstruct_progressive(expect, comps, qt, h, w)
+    got = jpeg.decode_jpeg(out)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, want)

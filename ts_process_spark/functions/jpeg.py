@@ -118,9 +118,10 @@ def _mag_bits(v):
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
-def _encode_block(bw, block, prev_dc, dc_codes, ac_codes, q):
-    coef = _C @ block @ _C.T
-    zz = np.round(coef / q).astype(np.int64).ravel()[ZIGZAG]
+def _code_block_zz(bw, zz, prev_dc, dc_codes, ac_codes):
+    """Baseline sequential Huffman coding of ONE quantized zigzag block
+    (the entropy half of the encoder; the DCT/quantize half lives in
+    _quantized_blocks, the ONE copy both encoders share — review r6)."""
     diff = int(zz[0]) - prev_dc
     s, bitsv = _mag_bits(diff)
     c, ln = dc_codes[s]
@@ -166,54 +167,58 @@ def _comp_planes(img):
     return img.shape[:2], planes
 
 
+def _seg(marker, body):
+    """One FF-marker segment with its big-endian length framing."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _headers(h, w, nc, sof_marker, ri=0):
+    """SOI + DQT + SOF + (DRI) + both DHT segments — shared by the
+    sequential (SOF0) and progressive (SOF2) encoders."""
+    qz = QTABLE.ravel()[ZIGZAG]
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(sof_marker, sof)
+    if ri:
+        out += _seg(0xDD, struct.pack(">H", ri))
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    return out
+
+
 def encode_jpeg(img):
     (h, w), planes = _comp_planes(img)
     nc = len(planes)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
-    padded = [
-        np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") - 128.0
-        for p in planes
-    ]
-    H, W = padded[0].shape
+    ncy, ncx, zz = _quantized_blocks(planes, h, w)
     bw = BitWriter()
     prev = [0] * nc
-    q = QTABLE.astype(np.float64)
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
+    for by in range(ncy):
+        for bx in range(ncx):
             for ci in range(nc):  # 4:4:4 interleave: 1 block each
-                prev[ci] = _encode_block(
-                    bw, padded[ci][by:by+8, bx:bx+8], prev[ci],
-                    dc_codes, ac_codes, q,
+                prev[ci] = _code_block_zz(
+                    bw, zz[ci][by, bx], prev[ci], dc_codes, ac_codes
                 )
     bw.flush()
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    qz = QTABLE.ravel()[ZIGZAG]
-    out = b"\xff\xd8"
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out = _headers(h, w, nc, 0xC0)
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += bytes(bw.buf) + b"\xff\xd9"
     return out
 
 
 def _quantized_blocks(planes, h, w):
     """Pad to 8×8 blocks, forward-DCT and quantize: one (ncy, ncx, 64)
-    zigzag int64 array per component — the coefficient state both
-    encoders code from (identical math to _encode_block's first two
-    lines, batched)."""
+    zigzag int64 array per component — the ONE copy of the coefficient
+    math; both encoders entropy-code from these arrays, which is what
+    makes the progressive/baseline twin equality structural."""
     padded = [
         np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") - 128.0
         for p in planes
@@ -227,9 +232,6 @@ def _quantized_blocks(planes, h, w):
         for by in range(ncy):
             for bx in range(ncx):
                 blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                # the EXACT op tree of _encode_block — same matmul/round
-                # path, so a progressive file carries bit-identical
-                # coefficients to its baseline twin
                 z[by, bx] = np.round(
                     (_C @ blk @ _C.T) / q
                 ).astype(np.int64).ravel()[ZIGZAG]
@@ -432,26 +434,13 @@ def encode_jpeg_progressive(img, restart_interval=0):
             ([ci], 1, 63, 1, 0, _enc_ac_refine(zz[ci], 1, 63, 0, ac_codes, ri))
         )
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    qz = QTABLE.ravel()[ZIGZAG]
-    out = b"\xff\xd8"
-    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in qz))
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, 0])
-    out += seg(0xC2, sof)
-    if ri:
-        out += seg(0xDD, struct.pack(">H", ri))
-    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    out = _headers(h, w, nc, 0xC2, ri)
     for cis, ss, se, ah, al, bw in scans:
         sos = bytes([len(cis)])
         for ci in cis:
             sos += bytes([ci + 1, 0x00])
         sos += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xDA, sos)
+        out += _seg(0xDA, sos)
         out += bytes(bw.buf)
     out += b"\xff\xd9"
     return out
@@ -743,14 +732,18 @@ def _assemble(planes, comps, h, w, hmax, vmax):
 def _entropy_end(payload, pos):
     """First offset ≥ pos of a real marker (0xFF followed by anything
     but a stuffed 0x00 or a restart code) — the end of a scan's
-    entropy-coded span."""
+    entropy-coded span.  Jumps 0xFF-to-0xFF with bytes.find instead of
+    walking every byte (this runs once per scan inside the mapInPandas
+    decode path)."""
     i = pos
-    while i + 1 < len(payload):
-        if (payload[i] == 0xFF and payload[i + 1] != 0x00
-                and not 0xD0 <= payload[i + 1] <= 0xD7):
+    while True:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= len(payload):
+            raise ValueError("unterminated JPEG scan")
+        nxt = payload[i + 1]
+        if nxt != 0x00 and not 0xD0 <= nxt <= 0xD7:
             return i
-        i += 1
-    raise ValueError("unterminated JPEG scan")
+        i += 2
 
 
 def _scan_units(scomps, comps, w, h):
