@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "top3_per_supplier",
     "doc_minhash_md5_neardup",
     "doc_token_stats",
+    "gopher_quality_flags",
+    "pack_documents",
     "emb_knn",
     "emb_srp_ann",
     "emb_ivf_ann",
