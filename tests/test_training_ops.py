@@ -1377,6 +1377,154 @@ def test_curation_pipeline_end_to_end(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+def test_png_gif_extended_variants():
+    """Round-6 media-boundary closure: palette / sub-8-bit / 16-bit /
+    Adam7 PNG and local-color-table / interlaced GIF.  (a) Real-file
+    interop — container files cover palette depths 2/4/8, an
+    interlaced RGBA (libpng's own pngtest.png, which caught a wrong
+    y-origin in the Adam7 pass table during development), and an
+    interlaced GIF.  (b) Synthetic exactness — hand-built files with
+    known pixels must decode EXACTLY (palette+tRNS at every depth,
+    16-bit MSB reduction, Adam7 re-interlace roundtrip, GIF interlace
+    row permutation, GIF local color table)."""
+    import os
+    import struct as st
+    import zlib as zl
+
+    import numpy as np
+    import pytest
+
+    from ts_process_spark.operators import multimodal as mm
+
+    # ---- (a) real container files
+    real = [
+        ("/usr/share/gitweb/static/git-favicon.png", 3),
+        ("/usr/share/icons/locolor/16x16/apps/gvim.png", 4),  # has tRNS
+        ("/usr/share/gitweb/static/git-logo.png", 3),
+        ("/usr/share/doc/libpng-dev/examples/pngtest.png", 4),
+        ("/usr/share/tcltk/tk8.6/images/tai-ku.gif", 3),
+    ]
+    n_real = 0
+    for path, nch in real:
+        if not os.path.exists(path):
+            continue
+        img = mm.decode_image(open(path, "rb").read())
+        assert img.ndim == 3 and img.shape[2] == nch, (path, img.shape)
+        assert float(img.std()) > 0, path
+        n_real += 1
+    assert n_real >= 3
+
+    # ---- (b) synthetic palette PNG at depths 1/2/4/8 (+ tRNS)
+    def palette_png(idx, depth, plte, trns=None):
+        h, w = idx.shape
+        per_byte = 8 // depth
+        rows = bytearray()
+        for r in range(h):
+            rows.append(0)  # filter None
+            byte = acc = 0
+            for c in range(w):
+                acc = (acc << depth) | int(idx[r, c])
+                byte += 1
+                if byte == per_byte:
+                    rows.append(acc)
+                    byte = acc = 0
+            if byte:
+                rows.append(acc << (depth * (per_byte - byte)))
+        out = mm._PNG_SIG
+        out += mm._png_chunk(
+            b"IHDR", st.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+        out += mm._png_chunk(b"PLTE", plte.tobytes())
+        if trns is not None:
+            out += mm._png_chunk(b"tRNS", bytes(trns))
+        out += mm._png_chunk(b"IDAT", zl.compress(bytes(rows)))
+        out += mm._png_chunk(b"IEND", b"")
+        return out
+
+    rng = np.random.default_rng(7)
+    for depth in (1, 2, 4, 8):
+        n = 2 ** depth
+        plte = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (5, 11)).astype(np.uint8)
+        got = mm.decode_png(palette_png(idx, depth, plte))
+        assert np.array_equal(got, plte[idx]), depth
+        trns = list(rng.integers(0, 256, min(3, n)))
+        got = mm.decode_png(palette_png(idx, depth, plte, trns))
+        alpha = np.full(n, 255, np.uint8)
+        alpha[: len(trns)] = trns
+        want = np.concatenate([plte[idx], alpha[idx][:, :, None]], axis=2)
+        assert np.array_equal(got, want), depth
+    # out-of-range palette index fails loudly
+    bad = palette_png(np.full((2, 2), 3, np.uint8), 2,
+                      rng.integers(0, 256, (2, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_png(bad)
+
+    # ---- 16-bit gray + RGB reduce to the high byte
+    g16 = rng.integers(0, 65536, (4, 6)).astype(np.uint16)
+    rows = bytearray()
+    for r in range(4):
+        rows.append(0)
+        rows += g16[r].astype(">u2").tobytes()
+    p = (mm._PNG_SIG
+         + mm._png_chunk(b"IHDR", st.pack(">IIBBBBB", 6, 4, 16, 0, 0, 0, 0))
+         + mm._png_chunk(b"IDAT", zl.compress(bytes(rows)))
+         + mm._png_chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(p), (g16 >> 8).astype(np.uint8))
+
+    # ---- sub-8-bit grayscale scales to full range
+    g1 = np.array([[1, 0, 1], [0, 1, 0]], np.uint8)
+    rows = bytes([0, 0b10100000, 0, 0b01000000])
+    p = (mm._PNG_SIG
+         + mm._png_chunk(b"IHDR", st.pack(">IIBBBBB", 3, 2, 1, 0, 0, 0, 0))
+         + mm._png_chunk(b"IDAT", zl.compress(rows))
+         + mm._png_chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(p), g1 * 255)
+
+    # ---- Adam7: re-interlace a known RGB image (filter-0 rows per
+    # pass over the module's pass table — the table itself is pinned
+    # by the real pngtest.png interop above) and require exact decode
+    img = rng.integers(0, 256, (13, 10, 3)).astype(np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in mm._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        for r in range(sub.shape[0]):
+            raw.append(0)
+            raw += sub[r].tobytes()
+    p = (mm._PNG_SIG
+         + mm._png_chunk(b"IHDR", st.pack(">IIBBBBB", 10, 13, 8, 2, 0, 0, 1))
+         + mm._png_chunk(b"IDAT", zl.compress(bytes(raw)))
+         + mm._png_chunk(b"IEND", b""))
+    assert np.array_equal(mm.decode_png(p), img)
+
+    # ---- GIF interlace: write rows in pass order, flip the flag
+    garr = rng.integers(0, 256, (23, 9)).astype(np.uint8)
+    h = garr.shape[0]
+    order = [*range(0, h, 8), *range(4, h, 8),
+             *range(2, h, 4), *range(1, h, 2)]
+    gif = bytearray(mm.encode_gif(garr[order]))
+    desc = gif.index(0x2C, 13 + 768)  # image descriptor after palette
+    gif[desc + 9] |= 0x40  # set the interlace flag
+    got = mm.decode_gif(bytes(gif))
+    assert np.array_equal(got, np.stack([garr] * 3, axis=-1))
+
+    # ---- GIF local color table: strip the global table, move it
+    # (reversed, so the source is provably the local one) after the
+    # image descriptor with the local-table flag set
+    garr2 = rng.integers(0, 256, (6, 5)).astype(np.uint8)
+    src = mm.encode_gif(garr2)
+    hdr, pal, rest = src[:13], src[13:13 + 768], src[13 + 768:]
+    hdr = bytearray(hdr)
+    hdr[10] &= 0x7F  # clear the global-color-table flag
+    rest = bytearray(rest)
+    assert rest[0] == 0x2C
+    rest[9] = 0x80 | 7  # local color table, 256 entries
+    lpal = bytes(reversed(pal))
+    out = bytes(hdr) + bytes(rest[:10]) + lpal + bytes(rest[10:])
+    got = mm.decode_gif(out)
+    lp = np.frombuffer(lpal, np.uint8).reshape(256, 3)
+    assert np.array_equal(got, lp[garr2])
+
+
 def test_gif_codec_roundtrip(spark):
     """Native GIF codec (pure-Python LZW): encode→decode roundtrip
     across width-growth and dictionary-clear boundaries (>4094 codes),

@@ -20,8 +20,10 @@ Huffman+IDCT pipeline (functions/jpeg.py: 4:4:4/4:2:2/4:2:0, restart
 intervals, spectral-selection + successive-approximation scan scripts,
 verified against real libjpeg files shipped in this container, both
 sequential and progressive) — with pixel/sample-level features in
-``extract_decoded_features``.  Palette PNG, interlaced formats, and
-FLAC/MP3 audio remain the honest NotImplementedError boundary.
+``extract_decoded_features``.  PNG covers palette (PLTE+tRNS),
+sub-8-bit and 16-bit depths, and Adam7 interlace; GIF covers local
+color tables and interlace — each verified against real container
+files.  FLAC/MP3 audio remain the honest NotImplementedError boundary.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -208,61 +210,30 @@ def encode_png(arr: np.ndarray, compress_level: int = 6) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Native PNG decoder: 8-bit depth, gray / RGB / gray+alpha / RGBA,
-    non-interlaced; all five scanline filters (None/Sub/Up/Average/
-    Paeth) per the spec; chunk CRCs verified; multi-IDAT streams
-    concatenated.  Palette and Adam7 raise NotImplementedError (the
-    remaining honest boundary along with JPEG/FLAC/MP3).
+# Adam7 pass geometry: (x0, y0, dx, dy) per pass, spec order — note
+# passes 4 and 6 START AT ROW 0 (they fill the rows passes 1-3/5 left
+# at a finer x grid); a y0=4/y0=2 misread desyncs the filter stream on
+# any real interlaced file (caught by libpng's pngtest.png)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    The Up filter unfilters vectorized; Sub/Average/Paeth are
-    sequential per pixel BY SPECIFICATION (each byte depends on the
-    reconstructed left neighbor) — fine for the fixture-scale media
-    column, and the mapInPandas batch shape around it is the part that
-    must scale."""
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, idat = 8, []
-    w = h = nch = None
-    while pos + 12 <= len(payload):
-        ln, ctype = struct.unpack_from(">I4s", payload, pos)
-        body = payload[pos + 8 : pos + 8 + ln]
-        if len(body) != ln:
-            raise ValueError("truncated PNG chunk")
-        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or comp != 0 or filt != 0:
-                raise NotImplementedError(
-                    f"PNG depth={depth} compression={comp} filter={filt}"
-                )
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG")
-            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-            if nch is None:
-                raise NotImplementedError(f"palette PNG (color type {color})")
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    stride, bpp = w * nch, nch
-    if len(raw) != h * (stride + 1):
+
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter ``ph`` scanlines of ``stride`` bytes starting at
+    ``raw[off]`` (one filter-type byte per line) → ((ph, stride) uint8,
+    bytes consumed).  The Up filter is vectorized; Sub/Average/Paeth
+    are sequential per byte BY SPECIFICATION (each byte depends on the
+    reconstructed left neighbor)."""
+    need = ph * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("IDAT length mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((ph, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
-    for r in range(h):
-        ft = raw[r * (stride + 1)]
-        cur = np.frombuffer(
-            raw, np.uint8, stride, r * (stride + 1) + 1
-        ).astype(np.int32)
+    for r in range(ph):
+        base = off + r * (stride + 1)
+        ft = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
         if ft == 0:
             pass
         elif ft == 1:  # Sub
@@ -287,7 +258,112 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, nch)
+    return out, need
+
+
+def _png_samples(rows: np.ndarray, pw: int, depth: int,
+                 nch: int) -> np.ndarray:
+    """(ph, stride) unfiltered bytes → (ph, pw, nch) raw sample values
+    (uint16 so 16-bit fits; sub-8-bit values are NOT yet scaled)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * nch].reshape(ph, pw, nch).astype(np.uint16)
+    if depth == 16:
+        pairs = rows[:, : pw * nch * 2].reshape(ph, pw, nch, 2).astype(np.uint16)
+        return (pairs[..., 0] << 8) | pairs[..., 1]
+    # depths 1/2/4 occur only with one channel (gray or palette index):
+    # unpack MSB-first bit groups per scanline, truncate byte padding
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.shape[1] // depth
+    groups = bits[:, : per * depth].reshape(ph, per, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (groups * weights).sum(axis=2, dtype=np.uint16)[:, :pw, None]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Native PNG decoder: gray (depths 1/2/4/8/16), RGB / gray+alpha /
+    RGBA (8/16), PALETTE (depths 1/2/4/8, PLTE + optional tRNS alpha),
+    Adam7 interlacing for every supported format; all five scanline
+    filters per the spec; chunk CRCs verified; multi-IDAT streams
+    concatenated.  16-bit samples reduce to their high byte (the
+    standard 8-bit rendering).  Verified against real-world files in
+    the container incl. libpng's own interlaced pngtest.png.  FLAC/MP3
+    audio remain the honest NotImplementedError boundary elsewhere."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    plte = trns = None
+    while pos + 12 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if comp != 0 or filt != 0:
+                raise NotImplementedError(
+                    f"PNG compression={comp} filter={filt}"
+                )
+            ok_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                         4: (8, 16), 6: (8, 16)}.get(color)
+            if ok_depths is None:
+                raise NotImplementedError(f"PNG color type {color}")
+            if depth not in ok_depths:
+                raise ValueError(f"invalid PNG depth {depth} for color {color}")
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_pp = nch * depth
+    bpp = max(1, bits_pp // 8)
+    raw = zlib.decompress(b"".join(idat))
+    grid = np.zeros((h, w, nch), np.uint16)
+    off = 0
+    for x0, y0, dx, dy in ([(0, 0, 1, 1)] if interlace == 0 else _ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        rows, used = _png_unfilter(raw, off, ph, stride, bpp)
+        off += used
+        grid[y0::dy, x0::dx] = _png_samples(rows, pw, depth, nch)
+    if off != len(raw):
+        raise ValueError("IDAT length mismatch")
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = grid[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if depth == 16:
+        img = (grid >> 8).astype(np.uint8)
+    elif depth < 8:
+        img = (grid * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    else:
+        img = grid.astype(np.uint8)
     return img[:, :, 0] if nch == 1 else img
 
 
@@ -354,9 +430,10 @@ def encode_gif(arr: np.ndarray) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Native GIF decoder (pure Python LZW): 87a/89a, global color
-    table, one image frame, extensions skipped; non-interlaced.  Local
-    color tables and interlace raise NotImplementedError.  Returns
+    """Native GIF decoder (pure Python LZW): 87a/89a, global AND local
+    color tables, interlaced and sequential frames (first frame of an
+    animation), extensions skipped.  Verified against real-world files
+    in the container incl. an interlaced tk fixture.  Returns
     (H, W, 3) uint8 RGB via the palette."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -388,12 +465,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
         raise ValueError("truncated GIF image descriptor")
     _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
     pos += 10
-    if ipacked & 0x80:
-        raise NotImplementedError("GIF local color table")
-    if ipacked & 0x40:
-        raise NotImplementedError("interlaced GIF")
+    if ipacked & 0x80:  # local color table overrides the global one
+        n = 2 << (ipacked & 0x07)
+        if pos + n * 3 > len(payload):
+            raise ValueError("truncated GIF local color table")
+        palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    interlaced = bool(ipacked & 0x40)
     if palette is None:
-        raise NotImplementedError("GIF without a global color table")
+        raise ValueError("GIF without any color table")
     min_code = payload[pos]
     pos += 1
     data = bytearray()
@@ -448,15 +528,26 @@ def decode_gif(payload: bytes) -> np.ndarray:
             f"GIF pixel count mismatch: {len(out)} decoded vs {w * h}"
         )
     idx = np.frombuffer(bytes(out), np.uint8).reshape(h, w)
+    if interlaced:
+        # rows were written in the four-pass order 0,8,16… / 4,12… /
+        # 2,6,10… / 1,3,5…; scatter them back to their true positions
+        order = [*range(0, h, 8), *range(4, h, 8),
+                 *range(2, h, 4), *range(1, h, 2)]
+        deint = np.empty_like(idx)
+        deint[order] = idx
+        idx = deint
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("GIF pixel index out of palette range")
     return palette[idx]
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode dispatch: BMP, PNG, GIF, and JPEG (baseline and
-    progressive) are all implemented natively (pure NumPy + stdlib
-    zlib / pure-Python LZW and Huffman — no codec library).  Palette
-    PNG, interlaced formats, and FLAC/MP3 audio remain the honest
-    NotImplementedError boundary."""
+    """Image decode dispatch: BMP, PNG (incl. palette / sub-8-bit /
+    16-bit / Adam7), GIF (incl. local color tables / interlace), and
+    JPEG (baseline and progressive) are all implemented natively (pure
+    NumPy + stdlib zlib / pure-Python LZW and Huffman — no codec
+    library).  FLAC/MP3 audio remain the honest NotImplementedError
+    boundary."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
