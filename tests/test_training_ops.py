@@ -1123,6 +1123,11 @@ def test_pack_documents_matches_duckdb_and_invariants(spark):
     assert sorted((r["id"], r["n_tokens"]) for r in rows) == want
     # every doc present exactly once
     assert len({r["id"] for r in rows}) == len(rows) == docs.count()
+    # unknown hash_mode raises instead of silently re-sharding (r6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_mode"):
+        textstats.pack_documents(docs, hash_mode="xxHash64")
 
 
 def test_png_codec_roundtrip_and_filters(spark):

@@ -337,11 +337,12 @@ def pack_documents(
 
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    shard_hash = (
-        F.xxhash64(F.col("id"))
-        if hash_mode == "xxhash64"
-        else hash60(F.col("id").cast("string"))
-    )
+    if hash_mode == "xxhash64":
+        shard_hash = F.xxhash64(F.col("id"))
+    elif hash_mode == "md5":
+        shard_hash = hash60(F.col("id").cast("string"))
+    else:  # a typo must not silently re-shard the corpus (review r6)
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     base = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),

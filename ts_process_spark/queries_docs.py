@@ -495,12 +495,22 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _sql_emb_ivf_ann() -> str:
-    return f"""
-WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
-e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
-cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16),
-ass AS (
+# ---- shared CTE builders for the PQ/IVF oracle family: ONE source of
+# truth for the norm filter, the first-16 codebook/cells convention,
+# the sub-distance encode tie-breaks, and the probe ranking (review
+# r6: the ivfpq oracle previously duplicated these blocks verbatim,
+# inviting silent drift between siblings)
+
+_EMB_E_CTES = f"""e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
+e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0)"""
+
+_QS_CTE = "qs AS (SELECT id AS query_id, q AS qv FROM e ORDER BY id LIMIT 10)"
+
+_IVF_CELLS_CTE = (
+    "cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16)"
+)
+
+_IVF_ASS_CTE = f"""ass AS (
     SELECT id, q, cell_id FROM (
         SELECT e.id, e.q, cells.cell_id,
                row_number() OVER (PARTITION BY e.id
@@ -508,17 +518,51 @@ ass AS (
                    AS rn
         FROM e CROSS JOIN cells
     ) WHERE rn = 1
-),
-qs AS (SELECT id AS query_id, q AS qv FROM e ORDER BY id LIMIT 10),
-probes AS (
+)"""
+
+
+def _ivf_probes_cte(nprobe: int) -> str:
+    return f"""probes AS (
     SELECT query_id, qv, cell_id FROM (
         SELECT qs.query_id, qs.qv, cells.cell_id,
                row_number() OVER (PARTITION BY qs.query_id
                    ORDER BY {_cos_sql("qs.qv", "cells.cv")} DESC, cells.cell_id)
                    AS rn
         FROM qs CROSS JOIN cells
-    ) WHERE rn <= 2
+    ) WHERE rn <= {nprobe}
+)"""
+
+
+# ds = dim/m = 8; j = k // 8 maps element index → subspace.  Encoding
+# tie-break (lowest code) mirrors pq_encode exactly.
+_PQ_CODE_CTES = """cb AS (
+    SELECT row_number() OVER (ORDER BY id) - 1 AS code, q AS cv
+    FROM (SELECT id, q FROM e ORDER BY id LIMIT 16)
 ),
+ex AS (SELECT id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS k FROM e),
+cx AS (SELECT code, unnest(cv) AS c, generate_subscripts(cv, 1) - 1 AS k
+       FROM cb),
+sub AS (
+    SELECT ex.id, cx.code, ex.k // 8 AS j,
+           CAST(sum((ex.x - cx.c) * (ex.x - cx.c)) AS BIGINT) AS d
+    FROM ex JOIN cx USING (k) GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT id, j, code FROM (
+        SELECT id, j, code, row_number() OVER (
+            PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
+        FROM sub
+    ) WHERE rn = 1
+)"""
+
+
+def _sql_emb_ivf_ann() -> str:
+    return f"""
+WITH {_EMB_E_CTES},
+{_IVF_CELLS_CTE},
+{_IVF_ASS_CTE},
+{_QS_CTE},
+{_ivf_probes_cte(2)},
 scored AS (
     SELECT p.query_id, a.id AS neighbor_id, {_cos_sql("p.qv", "a.q")} AS cosine
     FROM probes p JOIN ass a USING (cell_id)
@@ -864,32 +908,12 @@ def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ds = dim/m = 8; j = k // 8 maps element index → subspace.  Encoding
-# tie-break (lowest code) and ADC top-k tie-break (lowest neighbor id)
-# mirror pq_encode / pq_ann_topk exactly.
+# ADC top-k tie-break (lowest neighbor id) mirrors pq_ann_topk; the
+# shared encode CTEs carry the rest of the conventions.
 SQL_EMB_PQ_ANN = f"""
-WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
-e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
-cb AS (
-    SELECT row_number() OVER (ORDER BY id) - 1 AS code, q AS cv
-    FROM (SELECT id, q FROM e ORDER BY id LIMIT 16)
-),
-ex AS (SELECT id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS k FROM e),
-cx AS (SELECT code, unnest(cv) AS c, generate_subscripts(cv, 1) - 1 AS k
-       FROM cb),
-sub AS (
-    SELECT ex.id, cx.code, ex.k // 8 AS j,
-           CAST(sum((ex.x - cx.c) * (ex.x - cx.c)) AS BIGINT) AS d
-    FROM ex JOIN cx USING (k) GROUP BY 1, 2, 3
-),
-codes AS (
-    SELECT id, j, code FROM (
-        SELECT id, j, code, row_number() OVER (
-            PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
-        FROM sub
-    ) WHERE rn = 1
-),
-qs AS (SELECT id AS query_id FROM e ORDER BY id LIMIT 10),
+WITH {_EMB_E_CTES},
+{_PQ_CODE_CTES},
+{_QS_CTE},
 lut AS (SELECT s.* FROM sub s JOIN qs ON s.id = qs.query_id),
 scored AS (
     SELECT l.id AS query_id, c.id AS neighbor_id,
@@ -926,51 +950,17 @@ def q_emb_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_emb_ivfpq_ann() -> str:
-    """All-integer DuckDB replica of IVF×PQ: the SQL_EMB_PQ_ANN code/LUT
-    CTEs composed with _sql_emb_ivf_ann's probe-ranking stage (nprobe=4)
+    """All-integer DuckDB replica of IVF×PQ, COMPOSED from the shared
+    builders: the PQ encode CTEs (SQL_EMB_PQ_ANN's) plus the IVF
+    cell/assignment/probe-ranking stages (_sql_emb_ivf_ann's, nprobe=4)
     — candidates come only from each query's probed cells, then ADC."""
     return f"""
-WITH e0 AS (SELECT vec_id AS id, {_Q_SQL} AS q FROM embeddings),
-e AS (SELECT * FROM e0 WHERE list_dot_product(q, q) > 0),
-cells AS (SELECT id AS cell_id, q AS cv FROM e ORDER BY id LIMIT 16),
-ass AS (
-    SELECT id, cell_id FROM (
-        SELECT e.id, cells.cell_id,
-               row_number() OVER (PARTITION BY e.id
-                   ORDER BY {_cos_sql("e.q", "cells.cv")} DESC, cells.cell_id)
-                   AS rn
-        FROM e CROSS JOIN cells
-    ) WHERE rn = 1
-),
-cb AS (
-    SELECT row_number() OVER (ORDER BY id) - 1 AS code, q AS cv
-    FROM (SELECT id, q FROM e ORDER BY id LIMIT 16)
-),
-ex AS (SELECT id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS k FROM e),
-cx AS (SELECT code, unnest(cv) AS c, generate_subscripts(cv, 1) - 1 AS k
-       FROM cb),
-sub AS (
-    SELECT ex.id, cx.code, ex.k // 8 AS j,
-           CAST(sum((ex.x - cx.c) * (ex.x - cx.c)) AS BIGINT) AS d
-    FROM ex JOIN cx USING (k) GROUP BY 1, 2, 3
-),
-codes AS (
-    SELECT id, j, code FROM (
-        SELECT id, j, code, row_number() OVER (
-            PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
-        FROM sub
-    ) WHERE rn = 1
-),
-qs AS (SELECT id AS query_id, q AS qv FROM e ORDER BY id LIMIT 10),
-probes AS (
-    SELECT query_id, cell_id FROM (
-        SELECT qs.query_id, cells.cell_id,
-               row_number() OVER (PARTITION BY qs.query_id
-                   ORDER BY {_cos_sql("qs.qv", "cells.cv")} DESC, cells.cell_id)
-                   AS rn
-        FROM qs CROSS JOIN cells
-    ) WHERE rn <= 4
-),
+WITH {_EMB_E_CTES},
+{_IVF_CELLS_CTE},
+{_IVF_ASS_CTE},
+{_PQ_CODE_CTES},
+{_QS_CTE},
+{_ivf_probes_cte(4)},
 lut AS (SELECT s.* FROM sub s JOIN qs ON s.id = qs.query_id),
 cand AS (
     SELECT p.query_id, a.id AS neighbor_id
@@ -1087,6 +1077,14 @@ FROM m
 """
 
 
+# gate parameters for the pack_documents oracle pair — ONE definition
+# consumed by BOTH the Spark query and the SQL builder (review r6: a
+# retune of either side alone desyncs the pair with only a confusing
+# downstream hash failure as the signal)
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy shard-local sequence packing (pretraining sample packing)
     in md5 hash mode, so the ENTIRE packing plan — tokenize, shard,
@@ -1094,11 +1092,13 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB window replica; the xxhash64 production mode differs only in
     the shard hash and stays pinned by the sequential-replay pytest."""
     return textstats.pack_documents(
-        _docs(spark, sf_dir), budget_tokens=512, n_shards=8, hash_mode="md5"
+        _docs(spark, sf_dir), budget_tokens=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS, hash_mode="md5",
     )
 
 
-def _sql_pack_documents(budget: int = 512, n_shards: int = 8) -> str:
+def _sql_pack_documents(budget: int = _PACK_BUDGET,
+                        n_shards: int = _PACK_SHARDS) -> str:
     shard = (
         f"CAST({_h60_sql('CAST(doc_id AS VARCHAR)')} % {n_shards} AS INTEGER)"
     )
