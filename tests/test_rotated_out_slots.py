@@ -4,6 +4,8 @@
   doc_bm25 / doc_tfidf_top5 / emb_pq_ann could be value-checked there.
 - round 6 (VERDICT r5 #1): set_ops / pivot_types / revenue_forecast
   left so gopher_quality_flags / pack_documents / emb_ivfpq_ann could.
+- round 6 late: top3_per_supplier (plain row_number rank) left so
+  doc_span_dedup (span-level substring dedup) could.
 
 The rotated-out queries and their oracles stay in queries_ts.py; this
 test keeps them green with the same strict value compare the gate
@@ -31,6 +33,7 @@ def test_rotated_out_slots_match_oracles(spark):
         (QT.q_set_ops, QT.SQL_SET_OPS),
         (QT.q_pivot_types, QT.SQL_PIVOT_TYPES),
         (QT.q_revenue_forecast, QT.SQL_REVENUE_FORECAST),
+        (QT.q_top3_per_supplier, QT.SQL_TOP3_PER_SUPPLIER),
     ]
     for fn, sql in pairs:
         df = fn(spark, SF)

@@ -1796,3 +1796,86 @@ def test_jpeg_progressive_subsampled():
     got = jpeg.decode_jpeg(out)
     assert got.shape == (h, w, 3)
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------- span-level (substring) dedup
+
+
+def test_span_dedup_interval_union_exact(spark):
+    """Crafted fixture pinning the union-interval arithmetic: two
+    identical 40-char docs make every sampled window duplicated, and the
+    EXACT union coverage is 40 chars (not 3 windows x 24 = 72 — the
+    running-max must collapse the overlaps); a self-repeating doc is
+    duplicated against itself; a unique doc and a doc shorter than k
+    contribute nothing."""
+    import pandas as pd
+
+    a = "0123456789abcdefghijklmnopqrstuvwxyzABCD"  # 40 chars
+    rep = "Z" * 30 + "Q" + "Z" * 30  # self-similar: Z-runs repeat
+    rows = [
+        (0, a),
+        (1, a),  # exact dup of 0
+        (2, "totally unique prose that shares no 24-char span with rest."),
+        (3, "tiny"),  # shorter than k -> zero windows
+        (4, rep),
+        (5, None),  # NULL text -> zero windows, zero chars
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_windows"], r["n_dup_windows"], r["dup_chars"])
+        for r in dedup.duplicated_span_stats(docs, hash_mode="md5").collect()
+    }
+    # doc 0/1: len 40, windows at pos 0/8/16 (3), all dup, union = 16+24 = 40
+    assert got[0] == (40, 3, 3, 40) and got[1] == (40, 3, 3, 40)
+    # unique doc: windows but no dups
+    assert got[2][2] == 0 and got[2][3] == 0 and got[2][1] > 0
+    # short doc: no windows at all
+    assert got[3] == (4, 0, 0, 0)
+    # self-repetition: 'Z'*24 occurs at many offsets within ONE doc
+    assert got[4][2] > 0 and got[4][3] > 0
+    assert got[5] == (0, 0, 0, 0)
+    # keep-list integer boundary: docs 0/1/4 are >50% duplicated
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.span_dedup_keep(docs, max_dup_pct=50, hash_mode="md5").collect()
+    }
+    assert keep == {0: False, 1: False, 2: True, 3: True, 4: False, 5: True}
+    # invalid hash mode fails loudly
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup.duplicated_span_stats(docs, hash_mode="xxHash")
+
+
+def test_span_dedup_matches_duckdb_and_prod_twin(spark):
+    """(a) md5 mode is bit-exact vs the DuckDB replica on BOTH the
+    shared fixture and the hostile non-ASCII adversarial docs (emoji /
+    ZWJ / combining marks: both engines count codepoints); (b) the
+    xxhash64 production mode yields the same stats on these fixtures
+    (no 64-bit collisions); (c) the plan is partition-invariant."""
+    import duckdb
+
+    from ts_process_spark.queries_docs import _sql_doc_span_dedup
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata_adv"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        got = sorted(
+            tuple(r)
+            for r in dedup.duplicated_span_stats(docs, hash_mode="md5").collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        want = sorted(map(tuple, con.execute(_sql_doc_span_dedup()).fetchall()))
+        assert got == want, sf
+        prod = sorted(
+            tuple(r)
+            for r in dedup.duplicated_span_stats(docs).collect()
+        )
+        assert prod == got, sf
+        shuffled = sorted(
+            tuple(r)
+            for r in dedup.duplicated_span_stats(
+                docs.repartition(7), hash_mode="md5"
+            ).collect()
+        )
+        assert shuffled == got, sf

@@ -740,3 +740,177 @@ def dedup_keep_list(
             ),
         )
     )
+
+
+# ------------------------------------------- span-level (substring) dedup
+
+SPAN_K = 24  # window length in characters
+SPAN_STRIDE = 8  # sampling stride in characters
+
+
+def _span_hash(gram: Column, hash_mode: str) -> Column:
+    if hash_mode == "xxhash64":
+        return F.xxhash64(gram)
+    if hash_mode == "md5":
+        return hash60(gram)
+    raise ValueError(
+        f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}"
+    )
+
+
+def span_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    stride: int = SPAN_STRIDE,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Sampled k-char windows per document, hashed JVM-side.
+
+    One row per window: ``(id, n_chars, pos, h)`` where ``pos`` is the
+    0-based char offset of a window starting every ``stride`` chars
+    (only full-length windows; a doc shorter than ``k`` yields none).
+    The explode factor is bounded at ``len/stride`` rows per doc — a
+    fixed, predictable amplification of the scan, all built-in
+    functions (sequence/transform/substr/xxhash64), no Python.
+
+    Character-level spans rather than token-level: byte-ish dedup in
+    the spirit of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), but
+    recast as a bounded stride-sampled hash join — the shape that
+    shuffles O(corpus_len/stride) fixed-width rows instead of building
+    a distributed suffix array."""
+    if stride <= 0 or k <= 0:
+        raise ValueError("k and stride must be positive")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(0), F.floor((n - k) / stride).cast("int"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            t.alias("t"),
+            n.cast("long").alias("n_chars"),
+            F.explode(idx).alias("i"),
+        )
+        .select(
+            "id",
+            "n_chars",
+            (F.col("i").cast("long") * stride).alias("pos"),
+            _span_hash(
+                F.col("t").substr(F.col("i") * stride + 1, F.lit(k)),
+                hash_mode,
+            ).alias("h"),
+        )
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    stride: int = SPAN_STRIDE,
+    min_count: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: which fraction of each
+    doc's characters is covered by k-char windows whose content occurs
+    ``min_count``+ times anywhere in the corpus (other docs or repeats
+    within the same doc).
+
+    Returns one row per input doc (docs shorter than ``k`` included,
+    with zero windows): ``(id, n_chars, n_windows, n_dup_windows,
+    dup_chars)`` — all exact int64.  ``dup_chars`` is the EXACT union
+    length of the duplicated intervals ``[pos, pos+k)``, computed with
+    a per-doc running-max window (no double counting when windows
+    overlap), so ``dup_chars/n_chars`` is a true duplicated-character
+    fraction, not a window count heuristic.
+
+    Scale shape: (1) windows are a bounded explode of the scan;
+    (2) occurrence counting is a partial-agg groupBy on a 64-bit hash —
+    hot boilerplate grams skew the key but the map-side combine
+    collapses them before the exchange; (3) the dup-flag attach is a
+    shuffle join on ``h`` (both sides already clustered on ``h`` after
+    the aggregate; AQE handles residual skew); (4) the interval union
+    sorts only each doc's DUPLICATED windows (≤ len/stride rows) inside
+    one per-doc partition.  No collect, no Python, no all-pairs."""
+    w = span_windows(df, text_col, id_col, k, stride, hash_mode)
+    w = _ensure_parallelism(w, "h")
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_count)
+        .select("h")
+    )
+    from pyspark.sql.window import Window
+
+    prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        w.join(dup, "h")
+        .withColumn("prev_end", F.max(F.col("pos") + k).over(prev))
+        .withColumn(
+            "new_cov",
+            (F.col("pos") + k)
+            - F.greatest(
+                F.col("pos"), F.coalesce(F.col("prev_end"), F.col("pos"))
+            ),
+        )
+    )
+    dup_agg = cov.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sum("new_cov").alias("dup_chars"),
+    )
+    tot = w.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+    )
+    return (
+        base.join(tot, "id", "left")
+        .join(dup_agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_chars",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars"),
+        )
+    )
+
+
+def span_dedup_keep(
+    df: DataFrame,
+    max_dup_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SPAN_K,
+    stride: int = SPAN_STRIDE,
+    min_count: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep decision from duplicated_span_stats: a doc survives when at
+    most ``max_dup_pct`` percent of its characters sit under duplicated
+    spans (integer cross-multiply — no floating point in the gate).
+    Zero-char docs have nothing duplicated and are kept."""
+    stats = duplicated_span_stats(
+        df, text_col, id_col, k, stride, min_count, hash_mode
+    )
+    return stats.select(
+        id_col,
+        "n_chars",
+        "dup_chars",
+        (
+            F.col("dup_chars") * 100 <= F.lit(max_dup_pct) * F.col("n_chars")
+        ).alias("keep"),
+    )

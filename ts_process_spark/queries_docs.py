@@ -1125,6 +1125,55 @@ FROM r
 """
 
 
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup stats in md5 hash mode: sampled
+    24-char windows at stride 8, corpus-wide occurrence counting, and
+    EXACT per-doc union-interval coverage of the duplicated spans —
+    the whole lattice (window sampling, hash grouping, running-max
+    interval union) value-checked as pure int64 against the DuckDB
+    replica.  The xxhash64 production mode is the same plan with a
+    cheaper hash (pinned by pytest)."""
+    return dedup.duplicated_span_stats(_docs(spark, sf_dir), hash_mode="md5")
+
+
+def _sql_doc_span_dedup(
+    k: int = dedup.SPAN_K, s: int = dedup.SPAN_STRIDE, min_count: int = 2
+) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text,'') AS t,
+                  CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars
+           FROM documents),
+w AS (
+  SELECT doc_id, n_chars, CAST(i * {s} AS BIGINT) AS pos,
+         {_h60_sql(f"substr(t, i*{s}+1, {k})")} AS h
+  FROM (SELECT doc_id, t, n_chars,
+               unnest(generate_series(0,
+                 CASE WHEN n_chars >= {k}
+                      THEN (n_chars - {k}) // {s} ELSE -1 END)) AS i
+        FROM d)
+),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= {min_count}),
+cov AS (
+  SELECT doc_id, pos,
+         (pos + {k}) - greatest(pos, coalesce(
+            max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            pos)) AS new_cov
+  FROM (SELECT w.* FROM w JOIN dup USING (h))
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+        FROM w GROUP BY doc_id),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+               CAST(sum(new_cov) AS BIGINT) AS dup_chars
+        FROM cov GROUP BY doc_id)
+SELECT d.doc_id, d.n_chars,
+       coalesce(t.n_windows, 0) AS n_windows,
+       coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(a.dup_chars, 0) AS dup_chars
+FROM d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def queries_docs() -> dict[str, object]:
     """Driver registry (docs/embeddings slice).
 
@@ -1157,6 +1206,12 @@ def queries_docs() -> dict[str, object]:
         "gopher_quality_flags": q_gopher_quality,
         "pack_documents": q_pack_documents,
         "emb_ivfpq_ann": q_emb_ivfpq_ann,
+        # round-6 mid-round rotation: top3_per_supplier (plain
+        # row_number rank; pinned in tests/test_rotated_out_slots.py)
+        # left the ts slice so span-level substring dedup — the one
+        # dedup family member the engine lacked — gets a value-checked
+        # CORRECTNESS row.
+        "doc_span_dedup": q_doc_span_dedup,
         "emb_knn": q_emb_knn,
         "emb_srp_ann": q_emb_srp_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
@@ -1184,6 +1239,7 @@ def oracles_docs() -> dict[str, str | None]:
         "gopher_quality_flags": _sql_gopher_quality(),
         "pack_documents": _sql_pack_documents(),
         "emb_ivfpq_ann": _sql_emb_ivfpq_ann(),
+        "doc_span_dedup": _sql_doc_span_dedup(),
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_ivf_ann": _sql_emb_ivf_ann(),

@@ -1387,7 +1387,6 @@ def queries_ts() -> dict[str, object]:
         "asof_join": q_asof_join,
         "user_nation_rollup": q_user_nation_rollup,
         "pricing_summary": q_pricing_summary,
-        "top3_per_supplier": q_top3_per_supplier,
         # Rotated OUT of the 50-slot gate (queries + oracles stay in
         # this module, strict-compared by tests/test_rotated_out_slots):
         # - round 5 (VERDICT r4 #1): haversine / unit_scale / json_props
@@ -1398,6 +1397,8 @@ def queries_ts() -> dict[str, object]:
         #   user_nation_rollup, pricing_summary) → slots went to
         #   gopher_quality_flags / pack_documents / emb_ivfpq_ann
         #   (queries_docs.py).
+        # - round 6 late: top3_per_supplier (plain row_number rank)
+        #   → slot went to doc_span_dedup (queries_docs.py).
         "cube_counts": q_cube_counts,
         "taper_tukey": q_taper_tukey,
         "rotmax_scan": q_rotmax_scan,
@@ -1423,7 +1424,6 @@ def oracles_ts() -> dict[str, str]:
         "asof_join": SQL_ASOF_JOIN,
         "user_nation_rollup": SQL_USER_NATION_ROLLUP,
         "pricing_summary": SQL_PRICING_SUMMARY,
-        "top3_per_supplier": SQL_TOP3_PER_SUPPLIER,
         "cube_counts": SQL_CUBE_COUNTS,
         "taper_tukey": SQL_TAPER_TUKEY,
         "rotmax_scan": SQL_ROTMAX_SCAN,
