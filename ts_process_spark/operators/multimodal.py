@@ -23,7 +23,8 @@ sequential and progressive) — with pixel/sample-level features in
 ``extract_decoded_features``.  PNG covers palette (PLTE+tRNS),
 sub-8-bit and 16-bit depths, and Adam7 interlace; GIF covers local
 color tables and interlace — each verified against real container
-files.  FLAC/MP3 audio remain the honest NotImplementedError boundary.
+files.  Audio: PCM16 WAV and FLAC (native decoder, functions/flac.py).
+MP3 remains the honest NotImplementedError boundary.
 
 At scale: payloads stay columnar (no Python touches them until the
 mapInPandas stage), batches bounded by
@@ -151,6 +152,21 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(pcm)) + pcm
     )
+
+
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Audio decode dispatch: PCM16 WAV and FLAC (native decoder,
+    functions/flac.py — constant/verbatim/fixed/LPC subframes, Rice
+    partitions, stereo decorrelation, CRC-verified) are implemented;
+    MP3 remains the honest NotImplementedError boundary (lossy
+    psychoacoustic decode has no exactness oracle)."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from ts_process_spark.functions.flac import decode_flac
+
+        return decode_flac(payload)
+    raise NotImplementedError("unrecognized audio format (beyond WAV/FLAC)")
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
@@ -287,8 +303,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     filters per the spec; chunk CRCs verified; multi-IDAT streams
     concatenated.  16-bit samples reduce to their high byte (the
     standard 8-bit rendering).  Verified against real-world files in
-    the container incl. libpng's own interlaced pngtest.png.  FLAC/MP3
-    audio remain the honest NotImplementedError boundary elsewhere."""
+    the container incl. libpng's own interlaced pngtest.png.  MP3
+    audio remains the honest NotImplementedError boundary elsewhere."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat = 8, []
@@ -546,8 +562,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     16-bit / Adam7), GIF (incl. local color tables / interlace), and
     JPEG (baseline and progressive) are all implemented natively (pure
     NumPy + stdlib zlib / pure-Python LZW and Huffman — no codec
-    library).  FLAC/MP3 audio remain the honest NotImplementedError
-    boundary."""
+    library).  Audio goes through decode_audio (WAV + FLAC); MP3
+    remains the honest NotImplementedError boundary."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -625,17 +641,27 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def media_from_series(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+def media_from_series(df: DataFrame, width: int = 8, height: int = 8,
+                      audio_codec: str = "wav") -> DataFrame:
     """Build a media table with REAL encoded payloads from per-media
     integer series: one grouped Arrow pass per media_id encodes the
     ordered ``s`` values through the native codecs — kind='image' →
     s as 8-bit gray pixels zero-padded to width×height, 24-bit BMP;
-    kind='audio' → s as PCM16 mono WAV.  The deterministic integer
-    source is what makes the decode path value-checkable end-to-end:
-    encode→decode is lossless, so decoded statistics are exact SQL
-    functions of the s column (queries_docs.q_multimodal_decoded_stats).
+    kind='audio' → s as PCM16 mono WAV or FLAC.  The deterministic
+    integer source is what makes the decode path value-checkable
+    end-to-end: encode→decode is lossless (FLAC included), so decoded
+    statistics are exact SQL functions of the s column
+    (queries_docs.q_multimodal_decoded_stats).
+
+    ``audio_codec``: 'wav', 'flac', or 'mixed' (deterministic per-media
+    split — odd half of the audio ids gets FLAC) so one table carries
+    both codecs through the same decode dispatch.
 
     Input columns: media_id long, kind string, i int (order), s long."""
+    if audio_codec not in ("wav", "flac", "mixed"):
+        raise ValueError(
+            f"audio_codec must be 'wav'|'flac'|'mixed', got {audio_codec!r}"
+        )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("i")
@@ -665,7 +691,15 @@ def media_from_series(df: DataFrame, width: int = 8, height: int = 8) -> DataFra
                     f"media_id {mid}: audio samples must be int16 "
                     f"[-32768, 32767], got [{s.min()}, {s.max()}]"
                 )
-            payload = encode_wav(s.astype(np.int16), 16000)
+            use_flac = audio_codec == "flac" or (
+                audio_codec == "mixed" and mid % 4 == 1
+            )
+            if use_flac:
+                from ts_process_spark.functions.flac import encode_flac
+
+                payload = encode_flac(s.astype(np.int16), 16000)
+            else:
+                payload = encode_wav(s.astype(np.int16), 16000)
             meta = {"width": None, "height": None, "sample_rate": 16000,
                     "n_bytes": len(payload)}
         return pd.DataFrame(
@@ -718,8 +752,8 @@ def decoded_stats(media: DataFrame) -> DataFrame:
                     if kind == "image":
                         vals = as_rgb(decode_image(b)).ravel().astype(np.int64)
                     elif kind == "audio":
-                        _rate, pcm = decode_wav(b)
-                        vals = pcm.astype(np.int64)
+                        _rate, pcm = decode_audio(b)
+                        vals = pcm.ravel().astype(np.int64)
                     else:
                         raise NotImplementedError(kind)
                     if vals.size == 0:
@@ -778,8 +812,8 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
                         )
                         vals = luma.ravel()
                     elif kind == "audio":
-                        _rate, pcm = decode_wav(b)
-                        vals = np.abs(pcm.astype(np.float64))
+                        _rate, pcm = decode_audio(b)
+                        vals = np.abs(pcm.ravel().astype(np.float64))
                     else:
                         raise NotImplementedError(kind)
                     rows.append(

@@ -714,13 +714,16 @@ def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT ask #3): deterministic integer series from the events
     parquet become actual 24-bit BMP payloads (even user_id, pixels =
     pmod(round(value·100), 256) zero-padded to 8×8) and PCM16 WAV
-    payloads (odd user_id, samples = pmod(round(value·100), 32768)),
-    encoded and then DECODED by multimodal.encode_bmp/decode_bmp and
-    encode_wav/decode_wav, with integer-exact functionals of the decoded
-    point set (count/sum/sumsq/min/max + one-division mean).  The DuckDB
-    oracle recomputes the functionals straight from the source column —
-    any bit the codecs drop or invent shows up as a hash mismatch, so
-    this value-checks the decode path itself, not just byte plumbing."""
+    payloads (odd user_id, samples = pmod(round(value·100), 32768);
+    audio_codec='mixed' routes the media_id%4==1 half through the
+    native FLAC codec — lossless, so the same oracle), encoded and then
+    DECODED by multimodal.encode_bmp/decode_bmp, encode_wav and
+    encode_flac/decode_audio, with integer-exact functionals of the
+    decoded point set (count/sum/sumsq/min/max + one-division mean).
+    The DuckDB oracle recomputes the functionals straight from the
+    source column — any bit the codecs drop or invent shows up as a
+    hash mismatch, so this value-checks the decode path itself (WAV,
+    FLAC, and BMP alike), not just byte plumbing."""
     from pyspark.sql import Window
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
@@ -743,7 +746,9 @@ def q_multimodal_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s"),
         )
     )
-    media = multimodal.media_from_series(series, width=8, height=8)
+    media = multimodal.media_from_series(
+        series, width=8, height=8, audio_codec="mixed"
+    )
     return multimodal.decoded_stats(media)
 
 
