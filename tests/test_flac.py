@@ -54,6 +54,36 @@ def test_encode_decode_roundtrip_matrix():
     assert len(enc) < walk.size * 2 * 0.7
 
 
+def test_encoder_edge_validation_and_fallbacks():
+    """Review findings: encoder edges must fail loudly or fall back,
+    never emit a stream its own decoder rejects."""
+    rng = np.random.default_rng(3)
+    # 32-bit samples whose residuals exceed the 31-bit escape width:
+    # fixed mode falls back to verbatim and roundtrips exactly
+    big = rng.integers(-(1 << 31), 1 << 31, 600, dtype=np.int64)
+    rate, dec = flac.decode_flac(flac.encode_flac(big, 16000, bps=32))
+    assert np.array_equal(dec, big)
+    # noisy high-magnitude residuals route through the escape partition
+    # (param >= 15) and roundtrip
+    noisy = rng.integers(-(1 << 27), 1 << 27, 600, dtype=np.int64)
+    rate, dec = flac.decode_flac(flac.encode_flac(noisy, 16000, bps=32))
+    assert np.array_equal(dec, noisy)
+    # a short tail frame drops the partition order per-frame instead of
+    # failing: 4098 = 4096 + 2-sample tail at partition_order=2
+    x = (np.arange(4098, dtype=np.int64) % 200) - 100
+    rate, dec = flac.decode_flac(
+        flac.encode_flac(x, 16000, blocksize=4096, partition_order=2)
+    )
+    assert np.array_equal(dec, x)
+    # loud failures, not silently corrupt streams
+    with pytest.raises(ValueError, match="empty"):
+        flac.encode_flac(np.array([], dtype=np.int64))
+    with pytest.raises(ValueError, match="blocksize"):
+        flac.encode_flac(np.arange(100), blocksize=70000)
+    with pytest.raises(ValueError, match="blocksize"):
+        flac.encode_flac(np.arange(100), blocksize=8)
+
+
 def test_multibyte_coded_frame_numbers():
     """>127 frames forces 2-byte UTF-8-style frame numbers end-to-end."""
     x = np.arange(2200, dtype=np.int64) % 251 - 125

@@ -207,37 +207,44 @@ _FIXED_COEF = {
 # ------------------------------------------------------------- encoder
 
 def _rice_param(resid: np.ndarray) -> int:
-    """Smallest Rice parameter whose mean fits: standard mean-based pick."""
+    """Smallest Rice parameter whose mean fits: standard mean-based pick.
+    Not capped at the 4-bit field — a result >= 15 is the escape signal."""
     if resid.size == 0:
         return 0
     mean = int(np.abs(resid.astype(object)).sum()) // resid.size
     p = 0
-    while (1 << p) < mean + 1 and p < 14:
+    while (1 << p) < mean + 1 and p < 31:
         p += 1
     return p
 
 
 def _write_residual(w: _BitWriter, resid: np.ndarray, blocksize: int,
                     order: int, partition_order: int) -> None:
-    if blocksize % (1 << partition_order):
-        raise ValueError("partition order must divide the block size")
+    # partition order is a PER-FRAME field: a short tail frame that the
+    # requested order does not divide (or whose first partition would be
+    # empty) legitimately drops to a coarser order instead of failing
+    po = partition_order
+    while po and (blocksize % (1 << po) or (blocksize >> po) <= order):
+        po -= 1
     w.write(0, 2)  # method 0: 4-bit Rice parameters
-    w.write(partition_order, 4)
-    per = blocksize >> partition_order
-    if per <= order and partition_order:
-        raise ValueError("first partition would be empty")
+    w.write(po, 4)
+    per = blocksize >> po
     start = 0
-    for p in range(1 << partition_order):
+    for p in range(1 << po):
         cnt = per - order if p == 0 else per
         part = resid[start:start + cnt]
         start += cnt
         param = _rice_param(part)
-        if param >= 15 or (part.size and
-                           int(np.abs(part.astype(object)).max()) >= 1 << 30):
-            # escape: raw 2's-complement at a width that must fit
+        if param >= 15:
+            # escape: raw 2's-complement at a width that must fit the
+            # 5-bit field (callers bound residuals; see _encode_subframe)
             width = max(
                 (int(v).bit_length() + 1 for v in part.tolist()), default=1
             )
+            if width > 31:
+                raise ValueError(
+                    "residuals exceed the 31-bit escape width"
+                )
             w.write(0xF, 4)
             w.write(width, 5)
             for v in part.tolist():
@@ -286,6 +293,12 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int,
             cost = int(np.abs(resid.astype(object)).sum())
             if best_cost is None or cost < best_cost:
                 best_order, best_resid, best_cost = order, resid, cost
+        if best_resid.size and (
+            int(np.abs(best_resid.astype(object)).max()) >= 1 << 30
+        ):
+            # residuals would overflow the 31-bit escape width (possible
+            # only near bps=32): verbatim encodes the samples exactly
+            return _encode_subframe(w, x, bps, "verbatim", partition_order)
         w.write(0, 1)
         w.write(0b001000 | best_order, 6)
         w.write(0, 1)
@@ -316,8 +329,12 @@ def encode_flac(
     if x.ndim == 1:
         x = x[:, None]
     n, ch = x.shape
+    if n == 0:
+        raise ValueError("cannot encode an empty sample stream")
     if not 1 <= ch <= 8:
         raise ValueError("1-8 channels")
+    if not 16 <= blocksize <= 65536:
+        raise ValueError("blocksize must be in [16, 65536]")
     if bps not in _SAMPLE_SIZE_CODE:
         raise ValueError(f"unsupported bits-per-sample {bps}")
     lim = 1 << (bps - 1)
@@ -338,11 +355,9 @@ def encode_flac(
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
 
     frame_idx = 0
-    for start in range(0, max(n, 1), blocksize):
+    for start in range(0, n, blocksize):
         blk = x[start:start + blocksize]
         bs = blk.shape[0]
-        if bs == 0:
-            break
         w = _BitWriter()
         w.write(0b11111111111110, 14)
         w.write(0, 1)  # reserved

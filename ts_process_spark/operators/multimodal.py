@@ -654,8 +654,10 @@ def media_from_series(df: DataFrame, width: int = 8, height: int = 8,
     (queries_docs.q_multimodal_decoded_stats).
 
     ``audio_codec``: 'wav', 'flac', or 'mixed' (deterministic per-media
-    split — odd half of the audio ids gets FLAC) so one table carries
-    both codecs through the same decode dispatch.
+    split — audio ids with ``media_id % 4 == 1`` get FLAC, the rest
+    WAV; for the gate series, whose audio ids are all odd, that is half
+    the audio set) so one table carries both codecs through the same
+    decode dispatch.
 
     Input columns: media_id long, kind string, i int (order), s long."""
     if audio_codec not in ("wav", "flac", "mixed"):
