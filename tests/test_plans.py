@@ -215,3 +215,25 @@ def test_minhash_plan_shapes(spark):
     # ONE broadcast probe of the bare pair ids against a single corpus
     # scan (token sets reassembled by hash aggregation, never broadcast)
     assert full_plan.count("BroadcastHashJoin") == 1, full_plan
+
+
+def test_span_dedup_plan_shape(spark):
+    """Span-level dedup stays JVM-side and join-bounded: no Python
+    stages, no cartesian/nested-loop joins, exactly one per-doc Window
+    (the interval union), and the occurrence count keeps its map-side
+    partial aggregation — the properties that let the bounded
+    len/stride explode survive a 100-TB corpus."""
+    from ts_process_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for hash_mode in ("xxhash64", "md5"):
+        plan = _plan(dedup.duplicated_span_stats(docs, hash_mode=hash_mode))
+        assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # one window operator: the per-doc running-max interval union
+        assert plan.count("Window ") == 1, plan
+        # the h-groupBy occurrence count runs partial (map-side combine
+        # collapses hot boilerplate grams before the exchange)
+        assert re.search(r"HashAggregate\(keys=\[h[^\]]*\], functions=\[partial_count", plan), plan
