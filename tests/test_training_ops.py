@@ -1879,3 +1879,71 @@ def test_span_dedup_matches_duckdb_and_prod_twin(spark):
             ).collect()
         )
         assert shuffled == got, sf
+
+
+# ------------------------------------------------------ PII detect/redact
+
+
+def test_pii_flags_match_duckdb(spark):
+    """with_pii_flags vs a DuckDB RE2 replica, string-for-string: match
+    counts AND the redacted text must agree on hostile inputs (adjacent
+    matches, version strings that look like IPs, >3-digit octet-like
+    runs where Java backtracking and RE2 must converge, unicode, NULL,
+    pattern-order interactions)."""
+    import duckdb
+    import pandas as pd
+
+    from ts_process_spark.operators.textstats import PII_PATTERNS
+
+    rows = [
+        (0, "mail jane.doe+x@example.co.uk or call +14155551234 now"),
+        (1, "server 10.0.0.1 and 192.168.255.3; fax 555-123-4567"),
+        (2, "no pii here, just words"),
+        (3, None),
+        (4, ""),
+        (5, "version 1.2.3.4 is not v1.2.3.4000 nor 1.2.3.4.5"),
+        (6, "a@b.co c@d.org back-to-back a@b.co"),
+        (7, "call +123456 too short, +1234567 just long enough"),
+        (8, "émile@exämple.com unicode local/domain — ascii tail only"),
+        (9, "ip 999.999.999.999 is syntactically matched (documented)"),
+        (10, "email@host.com@10.0.0.1 then 555-555-5555x7"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["n_email"], r["n_ipv4"], r["n_phone"], r["n_pii"],
+         r["redacted"], r["pii_free"])
+        for r in textstats.with_pii_flags(spark.createDataFrame(pdf)).collect()
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    red = "coalesce(text, '')"
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+            f" AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    want = sorted(map(tuple, con.execute(f"""
+        SELECT doc_id, {', '.join(counts)}, {total} AS n_pii,
+               {red} AS redacted, ({total}) = 0 AS pii_free
+        FROM docs ORDER BY doc_id
+    """).fetchall()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] == 1 and by_id[0][3] == 1  # email + phone
+    assert by_id[1][2] == 2 and by_id[1][3] == 1  # two IPs + dashed phone
+    assert by_id[3] == (3, 0, 0, 0, 0, "", True)  # NULL text
+    assert by_id[6][1] == 3  # back-to-back emails all found
+    assert "<EMAIL>" in by_id[0][5] and "<PHONE>" in by_id[0][5]
+
+
+def test_pii_flags_plan_is_single_projection(spark):
+    """The scrub stage must stay one scan projection: no exchange, no
+    Python stage (same contract as gopher_quality_flags)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = textstats.with_pii_flags(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan

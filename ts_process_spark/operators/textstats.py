@@ -475,3 +475,51 @@ def gopher_quality_flags(
     for r in rules[1:]:
         allok = allok & F.col(r)
     return out.withColumn("gopher_pass", allok)
+
+
+# --------------------------------------------------- PII detect / redact
+
+# Patterns restricted to the syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret IDENTICALLY — ASCII classes, bounded repetition, \b, no
+# lookaround — so redaction is oracle-checkable string-for-string.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # E.164-ish international numbers and dashed US numbers
+    ("phone", r"\+\d{7,15}\b|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction as pure column expressions (the
+    standard pretraining-corpus scrub stage — C4/CCNet-style): per-doc
+    match counts for emails, IPv4 literals, and phone numbers, plus a
+    ``redacted`` column with placeholder substitution applied in a
+    FIXED pattern order (email → ipv4 → phone; order matters because
+    redaction changes the text later patterns see).
+
+    One scan projection, no exchange, no Python.  Counts are exact
+    int64 and redaction is deterministic, so the whole op replays in
+    DuckDB (regexp_extract_all / regexp_replace 'g') for a strict value
+    oracle — PII_PATTERNS is deliberately limited to regex syntax that
+    Java regex and RE2 agree on.
+
+    Detection, not NER: the regex stage is the cheap hard filter; an
+    ML-based pass would sit downstream on the survivors."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out = df
+    red = txt
+    for name, pat, tag in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(txt, F.lit(pat)).cast("long")
+        )
+        red = F.regexp_replace(red, pat, tag)
+    n_pii = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        n_pii = c if n_pii is None else n_pii + c
+    return (
+        out.withColumn("n_pii", n_pii)
+        .withColumn("redacted", red)
+        .withColumn("pii_free", n_pii == 0)
+    )
