@@ -280,6 +280,17 @@ def main() -> None:
             "shuffle_eff": round(eff_shuffle, 3),
             "identical": identical, "rotd50_identical": rotd_identical,
         }, default=str) + "\n")
+    # the auto-report replaces only the header portion of BASELINE.md;
+    # everything from the first "## Round-" heading onward is manually
+    # curated per-round history and MUST survive a rerun (a round-6 run
+    # once clobbered it — restored from git)
+    notes = ""
+    if os.path.exists(out_md):
+        with open(out_md) as f:
+            old = f.read()
+        idx = old.find("\n## Round-")
+        if idx >= 0:
+            notes = old[idx:]
     with open(out_md, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -373,6 +384,7 @@ real multi-node cluster (per-executor memory channels) the ceiling
 itself is ~1.0.  Post-run ceiling re-probe and the full run history are
 in BENCH/history.jsonl.
 """)
+        f.write(notes)
     print(f"cascade_eff={eff:.3f} rotd50_eff={eff_rotd:.3f} identical={identical} → {out_md}")
 
 
