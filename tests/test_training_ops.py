@@ -1325,10 +1325,11 @@ def test_gopher_quality_flags(spark):
 def test_curation_pipeline_end_to_end(spark):
     """The full training-data curation flow composed from the engine's
     own operators on the shared fixture: exact dedup → MinHash near-dup
-    keep-list → Gopher quality + language filters → greedy sequence
-    packing.  Pins that the stages compose (schemas line up, nothing
-    collects driver-side except the final asserts) and that each stage
-    only ever shrinks or preserves the survivor set."""
+    keep-list → Gopher quality + language filters → span-level dedup
+    stats → PII scrub → greedy sequence packing.  Pins that the stages
+    compose (schemas line up, nothing collects driver-side except the
+    final asserts) and that each stage only ever shrinks or preserves
+    the survivor set."""
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n0 = docs.count()
@@ -1355,9 +1356,27 @@ def test_curation_pipeline_end_to_end(spark):
     n3 = d3.count()
     assert 0 < n3 <= n2
 
+    # 3b. span-level dedup keep (substring duplication budget) — the
+    # fixture's survivors are already exact/near-deduped so the 50%
+    # threshold keeps them all, but the stage must COMPOSE (the stats
+    # join back by doc_id without collecting)
+    span_keep = dedup.span_dedup_keep(d3.select("doc_id", "text"))
+    d3b = d3.join(
+        span_keep.where(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    n3b = d3b.count()
+    assert 0 < n3b <= n3
+
+    # 3c. PII scrub: survivors carry the redacted text forward
+    scrubbed = textstats.with_pii_flags(d3b).select(
+        "doc_id", F.col("redacted").alias("text"), "n_pii"
+    )
+    assert scrubbed.where(F.col("n_pii") > 0).count() == 0  # fixture clean
+    n3 = n3b
+
     # 4. pack survivors into 512-token shard-local bins
     packed = textstats.pack_documents(
-        d3.select("doc_id", "text"), budget_tokens=512, n_shards=4
+        scrubbed.select("doc_id", "text"), budget_tokens=512, n_shards=4
     )
     rows = packed.collect()
     assert len(rows) == n3  # every survivor packed exactly once
@@ -1377,7 +1396,7 @@ def test_curation_pipeline_end_to_end(spark):
         assert tot - maxdoc[k] < 512, (k, tot, maxdoc[k])
     # determinism of the whole composed pipeline
     again = textstats.pack_documents(
-        d3.select("doc_id", "text"), budget_tokens=512, n_shards=4
+        scrubbed.select("doc_id", "text"), budget_tokens=512, n_shards=4
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
