@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver evaluates the FIRST 50 registry entries in
     # insertion order; the three modules below register exactly 50
-    # (20 ts + 23 docs + 7 signals) so every entry gets a CORRECTNESS
+    # (19 ts + 24 docs + 7 signals) so every entry gets a CORRECTNESS
     # row.  A silent import failure here would shrink the registry
     # without anyone noticing — fail loudly instead.
     import sys

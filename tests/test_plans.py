@@ -222,7 +222,17 @@ def test_span_dedup_plan_shape(spark):
     stages, no cartesian/nested-loop joins, exactly one per-doc Window
     (the interval union), and the occurrence count keeps its map-side
     partial aggregation — the properties that let the bounded
-    len/stride explode survive a 100-TB corpus."""
+    len/stride explode survive a 100-TB corpus.
+
+    Round-7 hardening (VERDICT r6 #4) pins the hot-gram-skew shape:
+    (a) the ONLY content-hash exchange in the plan is the occurrence
+    count's post-combine shuffle, and it sits ABOVE the partial
+    aggregate — a boilerplate gram occurring 10⁸ times crosses the
+    wire as one row per map task, never as raw windows; (b) the
+    dup-flag attach is a BROADCAST join, so the window stream is never
+    hash-partitioned by gram content at all; (c) totals + interval
+    union + per-doc agg ride ONE id-clustered pass — no separate
+    ``tot`` branch re-exchanging on id (the r6 triple-consumption)."""
     from ts_process_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -232,8 +242,33 @@ def test_span_dedup_plan_shape(spark):
         assert "ArrowEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
         # one window operator: the per-doc running-max interval union
         assert plan.count("Window ") == 1, plan
         # the h-groupBy occurrence count runs partial (map-side combine
         # collapses hot boilerplate grams before the exchange)
-        assert re.search(r"HashAggregate\(keys=\[h[^\]]*\], functions=\[partial_count", plan), plan
+        m_partial = re.search(
+            r"HashAggregate\(keys=\[h#[^\]]*\], functions=\[partial_count",
+            plan,
+        )
+        assert m_partial, plan
+        # (a) exactly ONE exchange keyed on the content hash, and it is
+        # the PARENT of the partial agg (tree prints parent-first), i.e.
+        # only combined (h, count) rows ever shuffle on gram content
+        h_exchanges = [
+            m.start()
+            for m in re.finditer(r"Exchange hashpartitioning\(h#", plan)
+        ]
+        assert len(h_exchanges) == 1, plan
+        assert h_exchanges[0] < m_partial.start(), plan
+        # (b) the dup-flag attach broadcasts the duplicated-hash set
+        assert re.search(
+            r"BroadcastHashJoin \[h#[^\]]*\], \[h#", plan
+        ), plan
+        # (c) single id-clustered pass: one final id aggregate, fed by
+        # the Window's sort — not a second id exchange for totals
+        id_aggs = re.findall(
+            r"HashAggregate\(keys=\[id#[^\]]*\], functions=\[count\(1\)",
+            plan,
+        )
+        assert len(id_aggs) == 1, plan

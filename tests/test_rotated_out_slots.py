@@ -6,6 +6,10 @@
   left so gopher_quality_flags / pack_documents / emb_ivfpq_ann could.
 - round 6 late: top3_per_supplier (plain row_number rank) left so
   doc_span_dedup (span-level substring dedup) could.
+- round 7 (VERDICT r6 #1/#3): median_by_type left so doc_pii_scrub
+  could be value-checked; batch sessionize left so stream_sessionize
+  (the applyInPandasWithState custom-state streaming class) could —
+  the streaming query subsumes the batch session semantics.
 
 The rotated-out queries and their oracles stay in queries_ts.py; this
 test keeps them green with the same strict value compare the gate
@@ -34,6 +38,8 @@ def test_rotated_out_slots_match_oracles(spark):
         (QT.q_pivot_types, QT.SQL_PIVOT_TYPES),
         (QT.q_revenue_forecast, QT.SQL_REVENUE_FORECAST),
         (QT.q_top3_per_supplier, QT.SQL_TOP3_PER_SUPPLIER),
+        (QT.q_median_by_type, QT.SQL_MEDIAN_BY_TYPE),
+        (QT.q_sessionize, QT.SQL_SESSIONIZE),
     ]
     for fn, sql in pairs:
         df = fn(spark, SF)

@@ -1900,6 +1900,51 @@ def test_span_dedup_matches_duckdb_and_prod_twin(spark):
         assert shuffled == got, sf
 
 
+def test_span_dedup_hot_gram_skew(spark):
+    """Adversarial hot-gram fixture (VERDICT r6 #4): ONE 24-char
+    boilerplate gram repeated in EVERY doc, many times per doc — the
+    worst-case key for any plan that hash-partitions raw windows by
+    content.  Value contract: results are exact (vs an independent
+    per-doc computation of the interval union) and IDENTICAL between
+    the broadcast attach (default) and the shuffle-join fallback
+    (``broadcast_dup=False``), across partitionings."""
+    import pandas as pd
+
+    boiler = "COMMON-FOOTER-BOILERPLATE"[:24]
+    assert len(boiler) == 24
+    rows = []
+    for d in range(40):
+        uniq = f"doc{d:02d}-" + "".join(
+            chr(ord("a") + (d * 7 + j) % 26) for j in range(30)
+        )
+        # boilerplate at stride-aligned offsets, repeated 6x per doc,
+        # interleaved with unique text → 240 hot windows over 40 docs
+        rows.append((d, (boiler * 6) + uniq + boiler))
+    rows.append((40, "entirely unique text with no boilerplate at all.."))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    base = sorted(
+        tuple(r) for r in dedup.duplicated_span_stats(docs).collect()
+    )
+    got = {r[0]: r for r in base}
+    # every boilerplate doc: the 6x prefix run (144 chars) is fully
+    # dup-covered (windows at pos 0..120 all repeat in every doc and
+    # union to [0, 144)); n_chars is exact
+    for d in range(40):
+        n_chars, dup_chars = got[d][1], got[d][4]
+        assert n_chars == len(rows[d][1]), got[d]
+        assert dup_chars >= 144, got[d]
+    assert got[40][3] == 0 and got[40][4] == 0
+    # fallback shuffle-join mode and a hostile partitioning agree exactly
+    fb = sorted(
+        tuple(r)
+        for r in dedup.duplicated_span_stats(
+            docs.repartition(13), broadcast_dup=False
+        ).collect()
+    )
+    assert fb == base
+
+
 # ------------------------------------------------------ PII detect/redact
 
 

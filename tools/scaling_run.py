@@ -24,6 +24,10 @@ import sys
 import tempfile
 import time
 
+# Everything below this line in BENCH/BASELINE.md is hand-curated round
+# history; the auto-report regenerates only what precedes it.
+HISTORY_SENTINEL = "<!-- MANUAL HISTORY BELOW -->"
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -281,16 +285,29 @@ def main() -> None:
             "identical": identical, "rotd50_identical": rotd_identical,
         }, default=str) + "\n")
     # the auto-report replaces only the header portion of BASELINE.md;
-    # everything from the first "## Round-" heading onward is manually
-    # curated per-round history and MUST survive a rerun (a round-6 run
-    # once clobbered it — restored from git)
+    # everything from the sentinel line onward is manually curated
+    # per-round history and MUST survive a rerun (a round-6 run once
+    # clobbered it — restored from git).  Anchor on an explicit marker
+    # (ADVICE r6): a differently-spelled future heading can't silently
+    # drop the history again, and a file that plainly contains history
+    # but no recognizable anchor fails LOUDLY instead of truncating.
     notes = ""
     if os.path.exists(out_md):
         with open(out_md) as f:
             old = f.read()
-        idx = old.find("\n## Round-")
+        idx = old.find(HISTORY_SENTINEL)
+        if idx < 0:  # legacy files predate the sentinel
+            idx = old.find("\n## Round-")
         if idx >= 0:
             notes = old[idx:]
+            if HISTORY_SENTINEL not in notes:
+                notes = f"\n{HISTORY_SENTINEL}\n" + notes.lstrip("\n")
+        elif "## Round-" in old:
+            raise RuntimeError(
+                f"{out_md} contains round history but neither the "
+                f"'{HISTORY_SENTINEL}' marker nor a '\\n## Round-' "
+                "anchor was found — refusing to overwrite it"
+            )
     with open(out_md, "w") as f:
         f.write(f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 

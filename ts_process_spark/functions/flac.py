@@ -340,6 +340,14 @@ def encode_flac(
     lim = 1 << (bps - 1)
     if n and (x.min() < -lim or x.max() >= lim):
         raise ValueError(f"samples exceed {bps}-bit range")
+    # STREAMINFO carries sample_rate in 20 bits and the total sample
+    # count in 36; _BitWriter.write masks silently, so an oversized
+    # value would emit a CRC-valid stream that decodes to the WRONG
+    # rate/length — fail loudly instead (same policy as bps/blocksize).
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError(f"sample_rate {sample_rate} outside [1, 2^20)")
+    if n >= 1 << 36:
+        raise ValueError("total sample count exceeds 36-bit STREAMINFO field")
 
     out = bytearray(b"fLaC")
     si = _BitWriter()
@@ -578,6 +586,13 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         got += bs
         pos = r.byte
 
+    if pos < len(payload):
+        # total satisfied but bytes remain: a bad concatenation or
+        # corruption PAST the last frame would otherwise be silently
+        # accepted — the stream is structurally invalid, say so.
+        raise ValueError(
+            f"{len(payload) - pos} trailing bytes after final FLAC frame"
+        )
     if not chans[0]:
         raise ValueError("FLAC stream contains no frames")
     cols = [np.concatenate(parts) for parts in chans]
@@ -588,3 +603,46 @@ def decode_flac(payload: bytes) -> tuple[int, np.ndarray]:
         cols = [c[:total] for c in cols]
     arr = np.stack(cols, axis=1).astype(np.int32)
     return rate, arr[:, 0] if ch == 1 else arr
+
+
+def parse_streaminfo(payload: bytes) -> dict:
+    """Metadata-only STREAMINFO read — the corpus-triage twin of
+    decode_flac for ``multimodal.extract_media_metadata``: walks the
+    metadata block list (same strictness as decode_flac) and returns
+    ``{sample_rate, channels, bits_per_sample, n_samples}`` without
+    touching a single audio frame, so a 100-TB triage pass costs bytes
+    proportional to the header, not the audio."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    last = False
+    info = None
+    while not last:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        ln = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        if pos + 4 + ln > len(payload):
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if ln != 34:
+                raise ValueError("bad STREAMINFO length")
+            br = _BitReader(payload[pos + 4:pos + 4 + ln])
+            br.read(16)
+            br.read(16)
+            br.read(24)
+            br.read(24)
+            info = {
+                "sample_rate": br.read(20),
+                "channels": br.read(3) + 1,
+                "bits_per_sample": br.read(5) + 1,
+                "n_samples": br.read(36),
+            }
+        elif btype == 127:
+            raise ValueError("invalid metadata block type 127")
+        pos += 4 + ln
+    if info is None:
+        raise ValueError("missing STREAMINFO")
+    return info

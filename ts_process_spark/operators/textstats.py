@@ -504,6 +504,14 @@ def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     oracle — PII_PATTERNS is deliberately limited to regex syntax that
     Java regex and RE2 agree on.
 
+    Counts vs redaction: each ``n_*`` is counted per-pattern over the
+    RAW text, while redaction is sequential — so overlapping matches
+    (e.g. a phone-shaped digit run inside an email local part) can make
+    ``n_pii`` exceed the number of replacements actually applied to
+    ``redacted``.  ``n_pii`` means "pattern hits in the original text",
+    not "redactions performed"; both sides of the oracle pair compute
+    it the same way, so the pair stays strict.
+
     Detection, not NER: the regex stage is the cheap hard filter; an
     ML-based pass would sit downstream on the survivors."""
     txt = F.coalesce(F.col(text_col), F.lit(""))

@@ -1082,6 +1082,58 @@ FROM m
 """
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (textstats.with_pii_flags) over documents —
+    the C4/CCNet-style scrub stage, rotated INTO the gate in round 7
+    (VERDICT r6 #1): per-doc match counts for emails / IPv4 literals /
+    phone numbers plus the REDACTED STRING itself, which the oracle
+    reproduces character-for-character (PII_PATTERNS is restricted to
+    the regex subset Java and RE2 interpret identically).  One scan
+    projection, no exchange, no Python (plan-asserted in
+    tests/test_training_ops.py::test_pii_flags_plan_is_single_projection).
+    ``pii_free`` is emitted as 0/1 BIGINT for dtype-stable hashing."""
+    p = textstats.with_pii_flags(_docs(spark, sf_dir))
+    return p.select(
+        F.col("doc_id").alias("id"),
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_pii",
+        F.col("pii_free").cast("long").alias("pii_free"),
+        "redacted",
+    )
+
+
+def _sql_doc_pii_scrub() -> str:
+    """DuckDB twin of with_pii_flags, built from the SAME PII_PATTERNS
+    tuple the Spark operator compiles (one source of truth — a pattern
+    edit on either side cannot silently desync the pair).  Counts via
+    regexp_extract_all, redaction via sequential regexp_replace 'g' in
+    the operator's fixed email→ipv4→phone order."""
+    from ts_process_spark.operators.textstats import PII_PATTERNS
+
+    red = "coalesce(text, '')"
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
+            f" AS BIGINT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+WITH c AS (
+    SELECT doc_id AS id, {', '.join(counts)}, {red} AS redacted
+    FROM documents
+)
+SELECT id, n_email, n_ipv4, n_phone,
+       {total} AS n_pii,
+       CAST(CASE WHEN {total} = 0 THEN 1 ELSE 0 END AS BIGINT) AS pii_free,
+       redacted
+FROM c
+"""
+
+
 # gate parameters for the pack_documents oracle pair — ONE definition
 # consumed by BOTH the Spark query and the SQL builder (review r6: a
 # retune of either side alone desyncs the pair with only a confusing
@@ -1211,6 +1263,12 @@ def queries_docs() -> dict[str, object]:
         "gopher_quality_flags": q_gopher_quality,
         "pack_documents": q_pack_documents,
         "emb_ivfpq_ann": q_emb_ivfpq_ann,
+        # round-7 rotation (VERDICT r6 #1): median_by_type left the ts
+        # slice (its percentile/sort semantics also ride inside
+        # rotmax_scan's median; pinned in tests/test_rotated_out_slots)
+        # so the PII scrub — the one first-class curation op with no
+        # CORRECTNESS row — gets a value-checked slot.
+        "doc_pii_scrub": q_doc_pii_scrub,
         # round-6 mid-round rotation: top3_per_supplier (plain
         # row_number rank; pinned in tests/test_rotated_out_slots.py)
         # left the ts slice so span-level substring dedup — the one
@@ -1244,6 +1302,7 @@ def oracles_docs() -> dict[str, str | None]:
         "gopher_quality_flags": _sql_gopher_quality(),
         "pack_documents": _sql_pack_documents(),
         "emb_ivfpq_ann": _sql_emb_ivfpq_ann(),
+        "doc_pii_scrub": _sql_doc_pii_scrub(),
         "doc_span_dedup": _sql_doc_span_dedup(),
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_ann": _sql_emb_srp_ann(),

@@ -1112,6 +1112,106 @@ WHERE b + INTERVAL 1 MINUTE <= m - INTERVAL 10 MINUTE
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom STATEFUL streaming operator under the value gate
+    (VERDICT r6 #3): streaming sessionization via applyInPandasWithState
+    (streaming/ingest.stream_sessionize, 30-min gap, 10-min watermark)
+    driven to completion over the static events table.
+
+    Determinism contract: the symlinked single parquet file arrives in
+    ONE data micro-batch (watermark still 0 → no rows dropped as late,
+    every session still open, an event-time timeout armed per conv);
+    Spark then runs a no-data batch at the advanced watermark, firing
+    the timeouts, which seal and emit exactly the sessions with
+    session_end + gap < watermark — where the final watermark is
+    floor(max(event ts)/1ms) − 10 min.  The DuckDB oracle reproduces
+    that cutoff over batch-computed sessions, so even the stateful
+    streaming path is value-checked (same technique as
+    streaming_rollup_1m, which covers the built-in windowed-agg class;
+    this covers the custom-state class)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ts_process_spark.streaming.ingest import stream_sessionize
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    turns = raw.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+    )
+    sess = stream_sessionize(turns, gap_s=1800)
+    name = "qsess_" + uuid.uuid4().hex[:8]
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "conv_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_turns",
+        "sum_text_len",
+    )
+
+
+SQL_STREAM_SESSIONIZE = """
+WITH e AS (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id, ts,
+           CAST(length(coalesce(props, '')) AS BIGINT) AS text_len,
+           epoch_us(ts) AS us
+    FROM events WHERE ts IS NOT NULL
+), g AS (
+    SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+                     OR lag(us) OVER w IS NULL
+                   THEN 1 ELSE 0 END AS new_s
+    FROM e WINDOW w AS (PARTITION BY conv_id ORDER BY us)
+), s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY conv_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+), agg AS (
+    SELECT conv_id, sid,
+           min(ts) AS session_start, max(ts) AS session_end,
+           max(us) AS end_us,
+           count(*) AS n_turns,
+           CAST(sum(text_len) AS BIGINT) AS sum_text_len
+    FROM s GROUP BY 1, 2
+), wm AS (
+    -- Spark's watermark: floor(max event time to ms) - 10 min, in µs
+    SELECT (max(epoch_us(ts)) // 1000 - 600000) * 1000 AS wm_us
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT conv_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_turns, sum_text_len
+FROM agg, wm
+WHERE end_us + 1800000000 < wm_us
+"""
+
+
 # ------------------------------------------- oracle-checked tier cascade
 
 
@@ -1380,9 +1480,13 @@ def queries_ts() -> dict[str, object]:
         "gapfill_linear": q_gapfill_linear,
         "window_kernels": q_window_kernels,
         "integrate_trapezoid": q_integrate,
-        "median_by_type": q_median_by_type,
         "first_crossing": q_first_crossing,
-        "sessionize": q_sessionize,
+        # round 7 (VERDICT r6 #3): the batch `sessionize` twin left the
+        # gate (strict pin in tests/test_rotated_out_slots.py) so the
+        # custom-STATE streaming class — applyInPandasWithState with an
+        # event-time timeout — gets a value-checked slot; the streaming
+        # query subsumes the batch one's session semantics.
+        "stream_sessionize": q_stream_sessionize,
         "sync_streams": q_sync_streams,
         "asof_join": q_asof_join,
         "user_nation_rollup": q_user_nation_rollup,
@@ -1399,6 +1503,10 @@ def queries_ts() -> dict[str, object]:
         #   (queries_docs.py).
         # - round 6 late: top3_per_supplier (plain row_number rank)
         #   → slot went to doc_span_dedup (queries_docs.py).
+        # - round 7 (VERDICT r6 #1/#3): median_by_type (its exact-median
+        #   sort semantics also ride inside rotmax_scan) → slot went to
+        #   doc_pii_scrub (queries_docs.py); batch sessionize → slot
+        #   went to stream_sessionize above.
         "cube_counts": q_cube_counts,
         "taper_tukey": q_taper_tukey,
         "rotmax_scan": q_rotmax_scan,
@@ -1417,9 +1525,8 @@ def oracles_ts() -> dict[str, str]:
         "gapfill_linear": SQL_GAPFILL_LINEAR,
         "window_kernels": SQL_WINDOW_KERNELS,
         "integrate_trapezoid": SQL_INTEGRATE,
-        "median_by_type": SQL_MEDIAN_BY_TYPE,
         "first_crossing": SQL_FIRST_CROSSING,
-        "sessionize": SQL_SESSIONIZE,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "sync_streams": SQL_SYNC_STREAMS,
         "asof_join": SQL_ASOF_JOIN,
         "user_nation_rollup": SQL_USER_NATION_ROLLUP,
