@@ -332,8 +332,12 @@ def test_decode_audio_dispatch(spark):
     assert rate == 16000 and np.array_equal(got, s)
     rate, got = multimodal.decode_audio(flac.encode_flac(s.astype(np.int64)))
     assert rate == 16000 and np.array_equal(got, s)
-    with pytest.raises(NotImplementedError, match="WAV/FLAC"):
+    # MP3 sync bytes now route to the metadata-path error (r7), not
+    # the generic unrecognized-format one
+    with pytest.raises(NotImplementedError, match="extract_media_metadata"):
         multimodal.decode_audio(b"\xff\xfb\x90\x00" + b"\x00" * 64)  # MP3-ish
+    with pytest.raises(NotImplementedError, match="WAV/FLAC"):
+        multimodal.decode_audio(b"\x00\x01\x02\x03" + b"\x00" * 64)
 
 
 def test_media_from_series_mixed_codec_stats_identical(spark):
