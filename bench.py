@@ -48,7 +48,6 @@ BENCH_QUERIES = [
     "rollup_tiers",
     "gapfill_linear",
     "integrate_trapezoid",
-    "sessionize",
     "asof_join",
     "pricing_summary",
     "doc_minhash_md5_neardup",
@@ -160,13 +159,21 @@ def main() -> None:
         for name in BENCH_QUERIES:
             _bench_query(name, lambda: qs[name](spark, sf_dir))
 
-        # rotated out of the 50-slot gate (round 6) but kept in the
-        # bench series so its timing history stays comparable
+        # rotated out of the 50-slot gate (r6: top3, r7: sessionize)
+        # but kept in the bench series so their timing history stays
+        # comparable.  sessionize benches the BATCH plan directly: its
+        # gate successor (stream_sessionize) does the work inside query
+        # construction (processAllAvailable), so a noop-write timing of
+        # the returned memory-sink table would measure nothing.
         from ts_process_spark import queries_ts as QT
 
         _bench_query(
             "top3_per_supplier",
             lambda: QT.q_top3_per_supplier(spark, sf_dir),
+        )
+        _bench_query(
+            "sessionize",
+            lambda: QT.q_sessionize(spark, sf_dir),
         )
 
         # ---- production (xxhash64) dedup paths — not registry entries
@@ -187,6 +194,14 @@ def main() -> None:
         _bench_query(
             "doc_span_dedup_prod",
             lambda: dedup.duplicated_span_stats(docs),
+        )
+        _bench_query(
+            "doc_decontam_prod",
+            lambda: dedup.decontaminate_stats(
+                docs.where("doc_id % 20 != 0"),
+                docs.where("doc_id % 20 = 0"),
+                n=8,
+            ),
         )
         from ts_process_spark.operators import textstats
 

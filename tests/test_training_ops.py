@@ -3,6 +3,8 @@ text stats, multimodal plumbing) on small deterministic data."""
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -1943,6 +1945,163 @@ def test_span_dedup_hot_gram_skew(spark):
         ).collect()
     )
     assert fb == base
+
+
+# ----------------------------------------------- benchmark decontamination
+
+
+def test_decontaminate_crafted(spark):
+    """Hand-checkable n=5 fixture: exact token-5-gram sharing flags a
+    doc, whitespace reformatting still matches (tokenization is the
+    shared ``tokens()``), token reorder does not, sub-n docs and NULL
+    text yield zero grams, and repeated leaked grams count per
+    OCCURRENCE."""
+    import pandas as pd
+
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog tonight")],
+            columns=["doc_id", "text"],
+        )
+    )
+    leak = "quick brown fox jumps over"  # tokens 2-6 of the benchmark
+    rows = [
+        (0, f"intro words then {leak} and trailing prose here"),
+        (1, "  the \t quick\nbrown   fox jumps over a cliff"),  # reformat
+        (2, "over jumps fox brown quick the dog lazy"),  # reordered
+        (3, "quick brown fox"),  # < n tokens
+        (4, None),
+        (5, f"{leak} padding {leak} padding {leak}"),  # 3 occurrences
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_ngrams"], r["n_contaminated"],
+            r["contaminated"],
+        )
+        for r in dedup.decontaminate_stats(corpus, bench, n=5).collect()
+    }
+    assert got[0] == (12, 8, 1, True)
+    # doc 1: tokens = the quick brown fox jumps over a cliff (8) →
+    # 4 grams; "the quick brown fox jumps" and "quick brown fox jumps
+    # over" both occur in the benchmark
+    assert got[1] == (8, 4, 2, True)
+    assert got[2] == (8, 4, 0, False)
+    assert got[3] == (3, 0, 0, False)
+    assert got[4] == (0, 0, 0, False)
+    # doc 5: 13 tokens → 9 grams; the leak 5-gram occurs at positions
+    # 1, 7 and 13... positions 1/7/13 → only 1 and 7 fit? tokens:
+    # leak(5) padding leak(5) padding leak(5) = 17 tokens, 13 grams,
+    # leak at positions 1, 7, 13 — all three fit
+    assert got[5] == (17, 13, 3, True)
+    keep = {
+        r["doc_id"]: r["keep"]
+        for r in dedup.decontaminate_keep(corpus, bench, n=5).collect()
+    }
+    assert keep == {0: False, 1: False, 2: True, 3: True, 4: True, 5: False}
+    with pytest.raises(ValueError, match="n must be positive"):
+        dedup.token_ngram_hashes(corpus, n=0)
+
+
+DECONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')),
+                     '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + {n} - 1), ' ')), 1, 15))::BIGINT AS h
+  FROM tok, LATERAL unnest(range(1, len(toks) - {n} + 2)) AS t(i)
+  WHERE len(toks) >= {n}
+), bench AS (
+  SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0
+), counts AS (
+  SELECT g.doc_id, count(*) AS n_ngrams,
+         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated
+  FROM g LEFT JOIN bench USING (h)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len(list_filter(string_split_regex(trim(coalesce(d.text,
+            '')), '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS BIGINT)
+         AS n_tokens,
+       coalesce(c.n_ngrams, 0) AS n_ngrams,
+       coalesce(c.n_contaminated, 0) AS n_contaminated,
+       coalesce(c.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def test_decontaminate_matches_duckdb_and_prod_twin(spark):
+    """md5 mode vs a DuckDB replica on the real documents table
+    (benchmark = every 20th doc, which the generator seeded with
+    near-duplicates — so the overlap is nonzero and earned); xxhash64
+    production mode must agree exactly (no 64-bit collisions here);
+    partition-invariant."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    got = sorted(
+        tuple(r)
+        for r in dedup.decontaminate_stats(
+            corpus, bench, n=8, hash_mode="md5"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(DECONTAM_SQL.replace("{n}", "8")).fetchall())
+    )
+    assert got == want
+    assert any(r[4] for r in got)  # the overlap is real, not vacuous
+    prod = sorted(
+        tuple(r)
+        for r in dedup.decontaminate_stats(corpus, bench, n=8).collect()
+    )
+    assert prod == got
+    shuffled = sorted(
+        tuple(r)
+        for r in dedup.decontaminate_stats(
+            corpus.repartition(7), bench.repartition(3), n=8,
+            hash_mode="md5",
+        ).collect()
+    )
+    assert shuffled == got
+
+
+def test_decontaminate_plan_shape(spark):
+    """Scale posture pinned: the benchmark shingle set is BROADCAST
+    (corpus grams never exchange on gram content), no Python stages, no
+    cartesian joins — the every-gram probe stays a map-side hash
+    lookup."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    plan = (
+        dedup.decontaminate_stats(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[h#[^\]]*\], \[h#", plan), plan
+    # the only h-keyed exchange is the BENCHMARK-side distinct (small);
+    # the corpus gram stream joins broadcast-side without shuffling
+    h_ex = re.findall(r"Exchange hashpartitioning\(h#", plan)
+    assert len(h_ex) == 1, plan
 
 
 # ------------------------------------------------------ PII detect/redact

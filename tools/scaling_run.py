@@ -4,10 +4,11 @@ identical input at local[8] and local[32], report throughput at both,
 scaling efficiency, and output-hash equality.
 
 Usage:
-    python tools/scaling_run.py [n_convs] [n_stations]
+    python tools/scaling_run.py [n_convs] [n_stations] [n_docs]
 
-PROTOCOL SIZE MATTERS: run with 400000 2000 (40.5M turns — every
-round's recorded numbers).  At the small default (3000 convs, ~10 s
+PROTOCOL SIZE MATTERS: run with 400000 2000 200000 (40.5M turns, and —
+since round 7 — a ~250M-char span-dedup corpus; every round's recorded
+numbers).  At the small default (3000 convs, ~10 s
 walls) the one-time JVM JIT constant dominates both widths and the
 efficiency number is meaningless (see BENCH/BASELINE.md round-5 notes).
 
@@ -127,6 +128,97 @@ def rotd50_worker(cores: int, n_stations: int) -> None:
     spark.stop()
 
 
+def span_docs_gen(spark, n_docs: int, partitions: int = 128) -> "object":
+    """Deterministic web-corpus-shaped documents for the span-dedup leg
+    (VERDICT r6 #8): per-doc pseudo-text from a seeded rng, one of 200
+    boilerplate snippets spliced into every doc (each therefore
+    duplicated ~n_docs/200 times corpus-wide), and every 5th doc also
+    carrying snippet 0 — a genuinely HOT gram family (~n_docs/4 extra
+    occurrences) so the run exercises exactly the skew path the r7
+    broadcast-attach hardening targets."""
+    import pandas as pd
+
+    boiler = [
+        (
+            f"subscribe to our newsletter issue {k:03d} terms of service "
+            f"apply contact support at help desk {k:03d} all rights "
+            "reserved unauthorized reproduction prohibited "
+        )
+        for k in range(200)
+    ]
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, texts = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(1234 + did)
+                n = int(400 + rng.integers(0, 1200))
+                body = (
+                    rng.integers(97, 123, size=n)
+                    .astype(np.uint8)
+                    .tobytes()
+                    .decode()
+                )
+                off = int(rng.integers(0, n))
+                text = body[:off] + boiler[did % 200] + body[off:]
+                if did % 5 == 0:
+                    text += boiler[0]
+                ids.append(did)
+                texts.append(text)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return (
+        spark.range(0, n_docs, 1, partitions)
+        .selectExpr("id AS doc_id")
+        .mapInPandas(gen, schema="doc_id long, text string")
+    )
+
+
+def span_worker(cores: int, docs_path: str) -> None:
+    """Span-level substring dedup at one parallelism level: the r7
+    hardened plan (bounded explode → round-robin spread → partial-agg
+    occurrence count → broadcast dup-flag attach → one id-clustered
+    union/agg pass) over the pre-generated corpus; throughput in
+    chars/s, output pinned by an xor-fold hash."""
+    from pyspark.sql import functions as F
+
+    from ts_process_spark.operators.dedup import duplicated_span_stats
+    from ts_process_spark.session import get_spark
+
+    spark = get_spark(f"span_{cores}", cores=cores, shuffle_partitions=cores)
+    docs = spark.read.parquet(docs_path)
+    n_chars = docs.select(F.sum(F.length("text"))).first()[0]
+    docs.count()  # page-cache warm, symmetric with the other legs
+    t0 = time.time()
+    agg = (
+        duplicated_span_stats(docs)
+        .select(
+            F.xxhash64(
+                "doc_id", "n_chars", "n_windows", "n_dup_windows",
+                "dup_chars",
+            ).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("coalesce(bit_xor(h), 0)").alias("hash"),
+        )
+        .first()
+    )
+    sec = time.time() - t0
+    print(
+        "RESULT " + json.dumps(
+            {"cores": cores, "rows": agg["rows"], "chars": int(n_chars),
+             "sec": round(sec, 2),
+             "mcps": round(n_chars / sec / 1e6, 2),
+             "hash": int(agg["hash"])}
+        )
+    )
+    spark.stop()
+
+
 def micro_worker(cores: int, raw_path: str) -> None:
     """Third-leg microbenchmarks isolating the two resource classes the
     engine workloads stress, so the 'job saturates the host ceiling'
@@ -219,8 +311,12 @@ def main() -> None:
     if sys.argv[1:2] == ["--micro-worker"]:
         micro_worker(int(sys.argv[2]), sys.argv[3])
         return
+    if sys.argv[1:2] == ["--span-worker"]:
+        span_worker(int(sys.argv[2]), sys.argv[3])
+        return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     n_stations = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
 
     from ts_process_spark.datagen import transcripts
@@ -235,10 +331,12 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="scaling_raw_")
     raw_path = f"{tmp}/raw"
+    docs_path = f"{tmp}/docs"
     spark = get_spark("scaling_datagen", cores=32, shuffle_partitions=32)
     transcripts(spark, n_convs=n_convs, seed=42, partitions=128).write.mode(
         "overwrite"
     ).parquet(raw_path)
+    span_docs_gen(spark, n_docs).write.mode("overwrite").parquet(docs_path)
     spark.stop()
 
     def run_worker(args):
@@ -257,6 +355,8 @@ def main() -> None:
     casc = {c: run_worker(["--worker", str(c), raw_path]) for c in (8, 32)}
     rotd = {c: run_worker(["--rotd50-worker", str(c), str(n_stations)])
             for c in (8, 32)}
+    span = {c: run_worker(["--span-worker", str(c), docs_path])
+            for c in (8, 32)}
     micro = {c: run_worker(["--micro-worker", str(c), raw_path])
              for c in (8, 32)}
 
@@ -264,10 +364,15 @@ def main() -> None:
     r8, r32 = casc[8], casc[32]
     eff = r32["tps"] / (4.0 * r8["tps"])
     eff_rotd = rotd[32]["sps"] / (4.0 * rotd[8]["sps"])
+    eff_span = span[32]["mcps"] / (4.0 * span[8]["mcps"])
     eff_scan = micro[32]["scan_rps"] / (4.0 * micro[8]["scan_rps"])
     eff_shuffle = micro[32]["shuffle_kps"] / (4.0 * micro[8]["shuffle_kps"])
     identical = r8["hashes"] == r32["hashes"]
     rotd_identical = rotd[8]["hash"] == rotd[32]["hash"]
+    span_identical = (
+        span[8]["hash"] == span[32]["hash"]
+        and span[8]["rows"] == span[32]["rows"]
+    )
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     # append the full record to the committed run history so variance
     # across windows is part of the evidence
@@ -278,11 +383,13 @@ def main() -> None:
                              for k, d in pre.items()},
             "post_ceilings": {k: {str(c): v for c, v in d.items()}
                               for k, d in post.items()},
-            "cascade": casc, "rotd50": rotd, "micro": micro,
+            "cascade": casc, "rotd50": rotd, "span": span, "micro": micro,
             "cascade_eff": round(eff, 3), "rotd50_eff": round(eff_rotd, 3),
+            "span_eff": round(eff_span, 3),
             "scan_eff": round(eff_scan, 3),
             "shuffle_eff": round(eff_shuffle, 3),
             "identical": identical, "rotd50_identical": rotd_identical,
+            "span_identical": span_identical,
         }, default=str) + "\n")
     # the auto-report replaces only the header portion of BASELINE.md;
     # everything from the sentinel line onward is manually curated
@@ -371,6 +478,29 @@ recurrence over {n_stations} stations:
   {"PASS" if rotd_identical else "FAIL"}** (xor-fold xxhash64 over every
   (station, period) row at 9-decimal rounding).
 
+## Workload 2b — span-level substring dedup (shuffle + broadcast join)
+
+`duplicated_span_stats` (the r7-hardened plan: bounded window explode →
+round-robin spread → map-side-combined occurrence count → BROADCAST
+dup-flag attach → one id-clustered union/agg pass) over a deterministic
+{span[8]['chars']:,}-char corpus in which every doc carries one of 200
+boilerplate snippets and every 5th doc a hot snippet-0 copy:
+
+| parallelism | wall (s) | Mchars/sec |
+|---|---|---|
+| local[8]  (N)  | {span[8]['sec']} | {span[8]['mcps']} |
+| local[32] (4N) | {span[32]['sec']} | {span[32]['mcps']} |
+
+- raw scaling efficiency = **{eff_span:.3f}**; speedup
+  {span[32]['mcps']/span[8]['mcps']:.2f}× vs this window's memory
+  ceiling {membw_ratio:.2f}× → **{(span[32]['mcps']/span[8]['mcps'])/membw_ratio:.0%}
+  of achievable memory-bound scaling** (the workload is
+  explode/shuffle/hash-agg shaped — the simhash/minhash resource
+  class).
+- **Output hash-equality across parallelism levels:
+  {"PASS" if span_identical else "FAIL"}** (xor-fold xxhash64 over every
+  per-doc stats row).
+
 ## Workload 3 — in-Spark microbench controls (the third leg)
 
 Pure parquet scan (xxhash64 of every column + count) and pure shuffle
@@ -402,7 +532,11 @@ itself is ~1.0.  Post-run ceiling re-probe and the full run history are
 in BENCH/history.jsonl.
 """)
         f.write(notes)
-    print(f"cascade_eff={eff:.3f} rotd50_eff={eff_rotd:.3f} identical={identical} → {out_md}")
+    print(
+        f"cascade_eff={eff:.3f} rotd50_eff={eff_rotd:.3f} "
+        f"span_eff={eff_span:.3f} identical={identical} "
+        f"span_identical={span_identical} → {out_md}"
+    )
 
 
 if __name__ == "__main__":

@@ -933,3 +933,131 @@ def span_dedup_keep(
             F.col("dup_chars") * 100 <= F.lit(max_dup_pct) * F.col("n_chars")
         ).alias("keep"),
     )
+
+
+# ------------------------------------------- benchmark decontamination
+
+
+def token_ngram_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """One row per token n-gram occurrence: ``(id, pos, h)`` where
+    ``pos`` is the 1-based token offset and ``h`` hashes the
+    space-joined n-token shingle (xxhash64 production / md5-60 oracle
+    mode, the span-dedup convention).  Tokenization is the engine-wide
+    ``tokens()`` (whitespace runs, no empties, NULL → empty doc), so a
+    doc and its benchmark twin shingle identically even across
+    reformatted whitespace.  Docs shorter than ``n`` tokens yield no
+    rows.  Bounded explode: ≤ n_tokens rows per doc, all built-in
+    functions, no Python."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("toks"),
+            F.explode(idx).alias("pos"),
+        )
+        .select(
+            "id",
+            F.col("pos").cast("long").alias("pos"),
+            _span_hash(
+                F.array_join(F.slice(F.col("toks"), F.col("pos"), n), " "),
+                hash_mode,
+            ).alias("h"),
+        )
+    )
+
+
+def decontaminate_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    hash_mode: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM
+    protocol): flag training documents sharing any token n-gram with an
+    evaluation set, so test data cannot leak into a training corpus.
+
+    Returns one row per corpus doc: ``(id, n_tokens, n_ngrams,
+    n_contaminated, contaminated)`` — all exact int64, where
+    ``n_contaminated`` counts n-gram POSITIONS whose shingle occurs
+    anywhere in the benchmark (a doc repeating a leaked gram counts
+    each occurrence) and ``contaminated`` is the any-hit flag.
+
+    Scale shape: the benchmark's distinct shingle-hash set is tiny
+    next to a training corpus (eval suites are ~10⁶ grams vs 10¹²) and
+    is BROADCAST by default, so the corpus-side bounded explode is
+    never shuffled on gram content — a hot boilerplate gram costs one
+    hash probe per occurrence, exactly the span-dedup r7 posture; the
+    only exchange is the final per-doc count on ``id``.  Set
+    ``broadcast_benchmark=False`` for a pathologically large benchmark
+    (shuffle join on ``h``, AQE skew backstop)."""
+    bench = (
+        token_ngram_hashes(benchmark, text_col, id_col, n, hash_mode)
+        .select("h")
+        .distinct()
+        .select("h", F.lit(True).alias("hit"))
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    grams = token_ngram_hashes(corpus, text_col, id_col, n, hash_mode)
+    counts = (
+        grams.join(bench, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return base.join(counts, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
+            "n_contaminated"
+        ),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )
+
+
+def decontaminate_keep(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_hits: int = 0,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Keep decision from decontaminate_stats: a doc survives with at
+    most ``max_hits`` contaminated n-gram positions (0 = the strict
+    drop-on-any-overlap protocol)."""
+    stats = decontaminate_stats(
+        corpus, benchmark, text_col, id_col, n, hash_mode=hash_mode
+    )
+    return stats.select(
+        id_col,
+        "n_ngrams",
+        "n_contaminated",
+        (F.col("n_contaminated") <= max_hits).alias("keep"),
+    )

@@ -1115,6 +1115,15 @@ def _sql_doc_pii_scrub() -> str:
     red = "coalesce(text, '')"
     counts = []
     for name, pat, tag in PII_PATTERNS:
+        # the patterns ride inside single-quoted SQL literals (DuckDB
+        # treats backslashes in '...' literally, matching the Python
+        # raw-string source); a future pattern or tag containing ' would
+        # silently corrupt the oracle — fail at build time instead
+        if "'" in pat or "'" in tag:
+            raise ValueError(
+                f"PII pattern {name!r} is not single-quote-literal-safe "
+                "for the DuckDB twin"
+            )
         counts.append(
             f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
             f" AS BIGINT) AS n_{name}"
