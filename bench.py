@@ -236,6 +236,12 @@ def main() -> None:
         # warmup pass changed nothing).  A long-lived cluster pays the
         # JIT once per executor; hoisting the train removes the one
         # component that is a protocol artifact rather than JIT.
+        _bench_query(
+            "emb_semdedup_prod",
+            lambda: similarity.semantic_dedup_stats(
+                embs, n_cells=16, threshold=0.4
+            ),
+        )
         pq_cb = similarity.pq_train(embs, 16)
         _bench_query(
             "emb_pq_ann",

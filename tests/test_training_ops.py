@@ -1947,6 +1947,138 @@ def test_span_dedup_hot_gram_skew(spark):
     assert fb == base
 
 
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_crafted(spark):
+    """Hand-checkable SemDeDup fixture: two well-separated directions,
+    exact and near duplicates inside each cluster, min-id keep policy,
+    and a zero vector excluded by the norm filter."""
+    import pandas as pd
+
+    from ts_process_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # centroid/cell A (first-2 rule)
+        (1, [0.0, 1.0, 0.0, 0.0]),          # centroid/cell B
+        (2, [2.0, 0.0, 0.0, 0.0]),          # same direction as 0 → dup
+        (3, [0.999, 0.0447, 0.0, 0.0]),     # cos≈0.999 vs 0 → dup
+        (4, [0.0, 1.0, 0.8, 0.0]),          # cell B, cos vs 1 ≈ 0.781 → kept
+        (5, [0.0, 1.0, 0.801, 0.0]),        # near-dup of 4 (cos ≈ 0.99997)
+        (6, [0.0, 0.0, 0.0, 0.0]),          # zero norm → excluded
+    ]
+    embs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = {
+        r["vec_id"]: (
+            r["cell_id"], r["n_dup_neighbors"], r["is_dup"],
+        )
+        for r in similarity.semantic_dedup_stats(
+            embs, n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert 6 not in got and len(got) == 6
+    assert got[0] == (0, 0, False)  # lowest id in cell A survives
+    assert got[1] == (1, 0, False)
+    assert got[2] == (0, 1, True)   # dup of 0
+    assert got[3] == (0, 2, True)   # ≥0.95 vs both 0 and 2
+    assert got[4] == (1, 0, False)  # 0.781 vs centroid → below threshold
+    assert got[5] == (1, 1, True)   # near-dup of 4 only
+    keep = {
+        r["vec_id"]: r["keep"]
+        for r in similarity.semantic_dedup_keep(
+            embs, n_cells=2, threshold=0.95
+        ).collect()
+    }
+    assert keep == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
+
+
+SEMDEDUP_SQL_TMPL = """
+WITH {e_ctes},
+{cells_cte},
+{ass_cte},
+pairs AS (
+    SELECT a.id AS id_a, {cos} AS cos
+    FROM ass a JOIN ass b USING (cell_id)
+    WHERE b.id < a.id
+), per_id AS (
+    SELECT id_a,
+           CAST(sum(CASE WHEN cos >= {thr} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_neighbors,
+           max(cos) AS max_cos_lower
+    FROM pairs GROUP BY 1
+)
+SELECT ass.id AS vec_id, ass.cell_id,
+       coalesce(p.n_dup_neighbors, 0) AS n_dup_neighbors,
+       p.max_cos_lower,
+       coalesce(p.n_dup_neighbors, 0) > 0 AS is_dup
+FROM ass LEFT JOIN per_id p ON ass.id = p.id_a
+"""
+
+
+def test_semantic_dedup_matches_duckdb(spark):
+    """Full-path DuckDB replica on the real embeddings table (which the
+    generator seeded with near-duplicate vectors): quantization, the
+    first-16 coarse codebook, argmax cell assignment with the rounded-6
+    tie convention, within-cell lower-id pairwise cosine, threshold
+    count — all reproduced in SQL and compared strictly."""
+    import duckdb
+
+    from ts_process_spark import queries_docs as QD
+    from ts_process_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # 0.4 ≈ the fixture's 99.9th-pct pair cosine (the emb_neardup
+    # convention at 0.35): the synthetic embeddings carry correlation
+    # structure, not literal copies, so the non-vacuity bar sits there
+    got = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup_stats(
+            embs, n_cells=16, threshold=0.4
+        ).collect()
+    )
+    sql = SEMDEDUP_SQL_TMPL.format(
+        e_ctes=QD._EMB_E_CTES,
+        cells_cte=QD._IVF_CELLS_CTE,
+        ass_cte=QD._IVF_ASS_CTE,
+        cos=QD._cos_sql("a.q", "b.q"),
+        thr="0.4",
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+    assert any(r[4] for r in got)  # planted near-dups make it non-vacuous
+    shuffled = sorted(
+        tuple(r)
+        for r in similarity.semantic_dedup_stats(
+            embs.repartition(7), n_cells=16, threshold=0.4
+        ).collect()
+    )
+    assert shuffled == got
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The codebook probe is broadcast (corpus never shuffles for
+    assignment) and the whole pipeline stays JVM-side."""
+    from ts_process_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        similarity.semantic_dedup_stats(embs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the n_cells probe
+    assert "CartesianProduct" not in plan, plan
+
+
 # ----------------------------------------------- benchmark decontamination
 
 

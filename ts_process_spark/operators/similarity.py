@@ -1115,3 +1115,108 @@ def ivfpq_attach_arrow(
     return cosine_base(df, id_col, vec_col).select("id", "q").mapInPandas(
         run, schema=schema
     )
+
+
+# --------------------------------------------------- semantic dedup
+
+
+def semantic_dedup_stats(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with the coarse quantizer, then within each cluster mark every item
+    having a LOWER-ID cluster-mate at quantized cosine ≥ ``threshold``
+    as a semantic duplicate — the deterministic min-id-survives version
+    of the paper's keep-one-per-epsilon-ball policy.
+
+    Returns one row per nonzero-norm vector: ``(id, cell_id,
+    n_dup_neighbors, max_cos_lower, is_dup)`` where ``n_dup_neighbors``
+    counts lower-id mates above threshold, ``max_cos_lower`` is the
+    best lower-id cosine (rounded to 6 — the engine-wide oracle
+    convention; NULL when the vector is its cell's lowest id) and
+    ``is_dup = n_dup_neighbors > 0``.  Zero-norm vectors are excluded
+    by cosine_base (no direction ⇒ no semantic identity), matching
+    every other embedding op here.
+
+    Scale shape — the SemDeDup design IS the blocking: the O(n²)
+    pairwise stage runs within clusters only, so per-cluster cost is
+    (n/n_cells)²·dim; production sizes the codebook at ~√n cells
+    (pass ``codebook`` from pq_train_kmeans(m=1)) precisely so that
+    quadratic stays bounded.  The plan: broadcast-codebook assignment
+    (no corpus shuffle), ONE equi-join exchange clustering both sides
+    on cell_id (AQE skew-split is the backstop for a degenerate hot
+    cluster), per-pair cosine on precomputed norms, then a
+    clustering-compatible per-id aggregate.  No cartesian product, no
+    Python."""
+    asg = ivf_cell_assignments(df, n_cells, id_col, vec_col, codebook)
+    a = asg.select(
+        F.col("cell_id"),
+        F.col("id").alias("id_a"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = asg.select(
+        F.col("cell_id"),
+        F.col("id").alias("id_b"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .where(F.col("id_b") < F.col("id_a"))
+        .select(
+            "id_a",
+            F.round(
+                cosine_qn(
+                    F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    per_id = pairs.groupBy("id_a").agg(
+        F.sum(
+            (F.col("cos") >= F.lit(threshold)).cast("long")
+        ).alias("n_dup_neighbors"),
+        F.max("cos").alias("max_cos_lower"),
+    )
+    return (
+        asg.select("id", "cell_id")
+        .join(per_id, asg["id"] == per_id["id_a"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell_id",
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0)).alias(
+                "n_dup_neighbors"
+            ),
+            "max_cos_lower",
+            (F.coalesce(F.col("n_dup_neighbors"), F.lit(0)) > 0).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: "np.ndarray | None" = None,
+) -> DataFrame:
+    """Keep decision from semantic_dedup_stats: a vector survives when
+    no lower-id cluster-mate sits at cosine ≥ threshold (the min-id
+    representative of every semantic near-dup group survives)."""
+    stats = semantic_dedup_stats(
+        df, n_cells, threshold, id_col, vec_col, codebook
+    )
+    return stats.select(
+        id_col, "cell_id", "n_dup_neighbors", (~F.col("is_dup")).alias("keep")
+    )
