@@ -1328,10 +1328,11 @@ def test_curation_pipeline_end_to_end(spark):
     """The full training-data curation flow composed from the engine's
     own operators on the shared fixture: exact dedup → MinHash near-dup
     keep-list → Gopher quality + language filters → span-level dedup
-    stats → PII scrub → greedy sequence packing.  Pins that the stages
-    compose (schemas line up, nothing collects driver-side except the
-    final asserts) and that each stage only ever shrinks or preserves
-    the survivor set."""
+    stats → PII scrub → benchmark decontamination → deterministic
+    domain-mix downsample → greedy sequence packing.  Pins that the
+    stages compose (schemas line up, nothing collects driver-side
+    except the final asserts) and that each stage only ever shrinks or
+    preserves the survivor set."""
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n0 = docs.count()
@@ -1374,7 +1375,35 @@ def test_curation_pipeline_end_to_end(spark):
         "doc_id", F.col("redacted").alias("text"), "n_pii"
     )
     assert scrubbed.where(F.col("n_pii") > 0).count() == 0  # fixture clean
-    n3 = n3b
+
+    # 3d. benchmark decontamination: the held-out every-20th-doc slice
+    # plays the eval set (it contains the planted near-dups, so the
+    # stage genuinely fires on this fixture — the keep-list must drop
+    # any survivor sharing an 8-gram with it)
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    dk = dedup.decontaminate_keep(
+        scrubbed.where(F.col("doc_id") % 20 != 0), bench, n=8
+    )
+    d3d = scrubbed.join(dk.where(F.col("keep")).select("doc_id"), "doc_id")
+    n3d = d3d.count()
+    assert 0 < n3d <= n3b
+
+    # 3e. deterministic domain-mix downsample (id-keyed, no rand()):
+    # synthetic domains at recipe weights; re-running must select the
+    # SAME ids (asserted via the pipeline-level determinism check below)
+    from ts_process_spark.operators import sampling
+
+    mixed = sampling.stratified_sample(
+        d3d.withColumn(
+            "domain",
+            F.when(F.col("doc_id") % 2 == 0, "web").otherwise("wiki"),
+        ),
+        {"web": 800_000, "wiki": 950_000},
+        salt="pipe1",
+    ).drop("domain")
+    n3 = mixed.count()
+    assert 0 < n3 <= n3d
+    scrubbed = mixed
 
     # 4. pack survivors into 512-token shard-local bins
     packed = textstats.pack_documents(
