@@ -1,0 +1,177 @@
+"""spark-submit entry point for the end-to-end training-data curation
+pipeline — the operator composition pinned by
+tests/test_training_ops.py::test_curation_pipeline_end_to_end, shipped
+as a runnable job.
+
+    cd <repo> && zip -qr ts_process_spark.zip ts_process_spark
+    spark-submit --master <cluster|local[N]> \\
+        --py-files ts_process_spark.zip \\
+        jobs/curate_corpus.py \\
+        --input  <documents parquet dir> \\
+        --output <curated output root> \\
+        [--benchmark <eval-set parquet dir>] \\
+        [--weights '{"web": 800000, "wiki": 950000}' --domain-col domain] \\
+        [--minhash-threshold 0.8] [--max-dup-pct 50] \\
+        [--decontam-n 13] [--budget-tokens 2048] [--n-shards 64] \\
+        [--salt v1] [--skip exact,neardup,...]
+
+Stages, in order (each skippable via --skip):
+
+  exact     exact dedup (md5 of text, min-id survives)
+  neardup   MinHash+LSH near-dup keep-list (connected components)
+  quality   Gopher rules + language-ID == en
+  span      span-level substring dedup budget (<= max-dup-pct chars)
+  pii       PII scrub — survivors carry the REDACTED text forward
+  decontam  benchmark n-gram decontamination (needs --benchmark)
+  mix       deterministic domain-weighted downsample (needs --weights)
+  pack      greedy shard-local sequence packing
+
+Outputs under --output: ``curated/`` (doc_id, text survivors),
+``packed/`` (doc_id, shard, bin_id, n_tokens) when packing runs, and a
+one-line JSON ``report.json`` with per-stage survivor counts.
+
+Determinism: every stage is a pure function of the input bytes and the
+flags (hash-keyed sampling, min-id keep policies, no rand()), so
+re-running the identical command reproduces the identical corpus —
+the property that makes a 100-TB curation run auditable.
+
+Per-stage counts force one action per stage (the durability/audit tax,
+same posture as jobs/cascade_backfill.py's lineage recounts); pass
+--no-counts to run the whole pipeline as one lazy plan and report only
+the final count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--weights", default=None,
+                    help="JSON dict domain -> keep rate in ppm")
+    ap.add_argument("--domain-col", default="domain")
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--max-dup-pct", type=int, default=50)
+    ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--budget-tokens", type=int, default=2048)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--salt", default="v1")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated stage names to skip")
+    ap.add_argument("--no-counts", action="store_true")
+    args = ap.parse_args()
+    skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("ts-curate-corpus").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from ts_process_spark.operators import dedup, sampling, textstats
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    report: dict = {"stages": {}}
+
+    def count_stage(name: str, df):
+        if not args.no_counts:
+            report["stages"][name] = df.count()
+        return df
+
+    d = count_stage("input", docs.select("doc_id", "text", *(
+        [args.domain_col] if args.weights else []
+    )))
+
+    if "exact" not in skip:
+        keep = dedup.exact_dedup(d, F.col("text")).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        d = count_stage("exact", d.join(keep, "doc_id"))
+
+    if "neardup" not in skip:
+        pairs = dedup.minhash_dedup_pairs(d, args.minhash_threshold)
+        keep = dedup.dedup_keep_list(d.select("doc_id"), pairs)
+        d = count_stage(
+            "neardup",
+            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
+        )
+
+    if "quality" not in skip:
+        flagged = textstats.gopher_quality_flags(
+            textstats.with_language_id(d)
+        )
+        d = count_stage(
+            "quality",
+            flagged.where(
+                F.col("gopher_pass") & (F.col("lang_pred") == "en")
+            ).select(d.columns),
+        )
+
+    if "span" not in skip:
+        keep = dedup.span_dedup_keep(
+            d.select("doc_id", "text"), max_dup_pct=args.max_dup_pct
+        )
+        d = count_stage(
+            "span",
+            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
+        )
+
+    if "pii" not in skip:
+        cols = [c for c in d.columns if c != "text"]
+        d = count_stage(
+            "pii",
+            textstats.with_pii_flags(d).select(
+                *cols, F.col("redacted").alias("text")
+            ),
+        )
+
+    if "decontam" not in skip and args.benchmark:
+        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
+        keep = dedup.decontaminate_keep(
+            d.select("doc_id", "text"), bench, n=args.decontam_n
+        )
+        d = count_stage(
+            "decontam",
+            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
+        )
+
+    if "mix" not in skip and args.weights:
+        weights = {k: int(v) for k, v in json.loads(args.weights).items()}
+        d = count_stage(
+            "mix",
+            sampling.stratified_sample(
+                d, weights, domain_col=args.domain_col, salt=args.salt
+            ),
+        )
+
+    d.write.mode("overwrite").parquet(f"{args.output}/curated")
+    n_final = spark.read.parquet(f"{args.output}/curated").count()
+    report["stages"]["final"] = n_final
+
+    if "pack" not in skip:
+        packed = textstats.pack_documents(
+            d.select("doc_id", "text"),
+            budget_tokens=args.budget_tokens,
+            n_shards=args.n_shards,
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        report["packed_rows"] = spark.read.parquet(
+            f"{args.output}/packed"
+        ).count()
+
+    report["wall_sec"] = round(time.time() - t0, 2)
+    with open(f"{args.output}/report.json".replace("file:", ""), "w") as f:
+        f.write(json.dumps(report) + "\n")
+    print("REPORT " + json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
