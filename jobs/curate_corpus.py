@@ -21,8 +21,12 @@ Stages, in order (each skippable via --skip):
   neardup   MinHash+LSH near-dup keep-list (connected components)
   quality   Gopher rules + language-ID == en
   span      span-level substring dedup budget (<= max-dup-pct chars)
+  decontam  benchmark n-gram decontamination (needs --benchmark) —
+            runs BEFORE the PII scrub so both sides of the n-gram
+            match see identically-normalized text (a leaked eval
+            passage containing an email must not escape because its
+            tokens were already rewritten to <EMAIL>)
   pii       PII scrub — survivors carry the REDACTED text forward
-  decontam  benchmark n-gram decontamination (needs --benchmark)
   mix       deterministic domain-weighted downsample (needs --weights)
   pack      greedy shard-local sequence packing
 
@@ -66,7 +70,19 @@ def main() -> None:
                     help="comma-separated stage names to skip")
     ap.add_argument("--no-counts", action="store_true")
     args = ap.parse_args()
+    stages = {"exact", "neardup", "quality", "span", "decontam", "pii",
+              "mix", "pack"}
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+    unknown = skip - stages
+    if unknown:
+        ap.error(f"--skip names unknown stages {sorted(unknown)}; "
+                 f"valid: {sorted(stages)}")
+    if "decontam" not in skip and not args.benchmark:
+        ap.error("decontamination needs --benchmark (or list decontam "
+                 "in --skip to run without it — a silent no-op would "
+                 "let an uncontaminated-looking corpus ship unchecked)")
+    if "mix" not in skip and not args.weights:
+        ap.error("domain mixing needs --weights (or list mix in --skip)")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -123,16 +139,7 @@ def main() -> None:
             d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
         )
 
-    if "pii" not in skip:
-        cols = [c for c in d.columns if c != "text"]
-        d = count_stage(
-            "pii",
-            textstats.with_pii_flags(d).select(
-                *cols, F.col("redacted").alias("text")
-            ),
-        )
-
-    if "decontam" not in skip and args.benchmark:
+    if "decontam" not in skip:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
         keep = dedup.decontaminate_keep(
             d.select("doc_id", "text"), bench, n=args.decontam_n
@@ -142,8 +149,26 @@ def main() -> None:
             d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
         )
 
+    if "pii" not in skip:
+        cols = [c for c in d.columns if c != "text"]
+        d = count_stage(
+            "pii",
+            textstats.with_pii_flags(d).select(
+                *cols, F.col("redacted").alias("text")
+            ),
+        )
+
     if "mix" not in skip and args.weights:
-        weights = {k: int(v) for k, v in json.loads(args.weights).items()}
+        raw_w = json.loads(args.weights)
+        bad = {k: v for k, v in raw_w.items()
+               if not isinstance(v, int) or isinstance(v, bool)}
+        if bad:
+            raise SystemExit(
+                f"--weights values must be integer ppm (0..1000000), got "
+                f"{bad} — a fraction like 0.8 would silently truncate to "
+                "rate 0 and drop the whole domain"
+            )
+        weights = raw_w
         d = count_stage(
             "mix",
             sampling.stratified_sample(
@@ -152,12 +177,15 @@ def main() -> None:
         )
 
     d.write.mode("overwrite").parquet(f"{args.output}/curated")
-    n_final = spark.read.parquet(f"{args.output}/curated").count()
-    report["stages"]["final"] = n_final
+    curated = spark.read.parquet(f"{args.output}/curated")
+    report["stages"]["final"] = curated.count()
 
     if "pack" not in skip:
+        # pack from the materialized read-back — reusing the lazy `d`
+        # would re-execute the whole curation lineage a second time
+        # (review r7); determinism makes the two sources identical
         packed = textstats.pack_documents(
-            d.select("doc_id", "text"),
+            curated.select("doc_id", "text"),
             budget_tokens=args.budget_tokens,
             n_shards=args.n_shards,
         )
@@ -167,8 +195,15 @@ def main() -> None:
         ).count()
 
     report["wall_sec"] = round(time.time() - t0, 2)
-    with open(f"{args.output}/report.json".replace("file:", ""), "w") as f:
-        f.write(json.dumps(report) + "\n")
+    # the stdout REPORT line is the canonical output; the sidecar file
+    # is written only for local/file: outputs (a driver-side open() on
+    # an hdfs:// or s3:// URI would fail AFTER all the work succeeded)
+    path = args.output
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    if "://" not in path:
+        with open(f"{path}/report.json", "w") as f:
+            f.write(json.dumps(report) + "\n")
     print("REPORT " + json.dumps(report))
     spark.stop()
 

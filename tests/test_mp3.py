@@ -268,6 +268,54 @@ def test_media_metadata_wav_flac_and_poison(spark):
     assert i["sample_rate"] is None
 
 
+def test_media_metadata_hostile_headers(spark):
+    """Review-r7 poisoned-header cases: (a) a FLAC whose STREAMINFO
+    total-samples field is 0 means UNKNOWN length (RFC 9639 streaming
+    encoders) — the row must carry NULL n_samples/duration with
+    meta_ok=true, never 'exactly 0'; (b) a WAV with channels=0 or
+    sample_rate=0 must produce ONE meta_ok=false row, not a
+    ZeroDivisionError task crash."""
+    import struct as st
+
+    from ts_process_spark.functions import flac as flacmod
+
+    # hand-build fLaC + STREAMINFO with total=0 (unknown)
+    w = flacmod._BitWriter()
+    w.write(4096, 16)  # min blocksize
+    w.write(4096, 16)  # max blocksize
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(16000, 20)  # sample rate
+    w.write(0, 3)       # channels-1
+    w.write(15, 5)      # bps-1
+    w.write(0, 36)      # total samples UNKNOWN
+    si = bytes(w.buf) + b"\x00" * (34 - len(w.buf))  # md5 field padding
+    payload = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    # a WAV with a zero channel count in fmt
+    bad_wav = (
+        b"RIFF" + st.pack("<I", 36) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16)
+        + st.pack("<HHIIHH", 1, 0, 16000, 0, 2, 16)
+        + b"data" + st.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    media = spark.createDataFrame(
+        [(0, "audio", payload, _meta(payload)),
+         (1, "audio", bad_wav, _meta(bad_wav))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.extract_media_metadata(media).collect()
+    }
+    f = rows[0]
+    assert (f["container"], f["meta_ok"]) == ("flac", True)
+    assert f["sample_rate"] == 16000 and f["channels"] == 1
+    assert f["n_samples"] is None and f["duration_us"] is None
+    wv = rows[1]
+    assert (wv["container"], wv["meta_ok"]) == ("wav", False)
+    assert "channels=0" in wv["err"]
+
+
 def test_media_metadata_plan_is_single_pass(spark):
     """Triage must stay a single Arrow scan: no exchange, no join, one
     mapInPandas stage."""

@@ -224,7 +224,11 @@ def test_span_dedup_plan_shape(spark):
     partial aggregation — the properties that let the bounded
     len/stride explode survive a 100-TB corpus.
 
-    Round-7 hardening (VERDICT r6 #4) pins the hot-gram-skew shape:
+    Round-7 hardening (VERDICT r6 #4) pins the hot-gram-skew shape of
+    the FORCED broadcast attach (``broadcast_dup=True`` — the mode for
+    corpora whose duplicated-hash set is known to fit memory; the
+    default leaves the attach strategy to AQE, which broadcasts small
+    dup sets at runtime and skew-splits big ones):
     (a) the ONLY content-hash exchange in the plan is the occurrence
     count's post-combine shuffle, and it sits ABOVE the partial
     aggregate — a boilerplate gram occurring 10⁸ times crosses the
@@ -236,8 +240,23 @@ def test_span_dedup_plan_shape(spark):
     from ts_process_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # default (AQE-managed) mode: the non-negotiables hold regardless
+    # of join strategy — map-side combine below the h exchange, one
+    # Window, no Python, no cartesian
+    dplan = _plan(dedup.duplicated_span_stats(docs))
+    assert "pythonUDF" not in dplan and "ArrowEvalPython" not in dplan, dplan
+    assert "CartesianProduct" not in dplan, dplan
+    assert dplan.count("Window ") == 1, dplan
+    m = re.search(
+        r"HashAggregate\(keys=\[h#[^\]]*\], functions=\[partial_count", dplan
+    )
+    assert m, dplan
     for hash_mode in ("xxhash64", "md5"):
-        plan = _plan(dedup.duplicated_span_stats(docs, hash_mode=hash_mode))
+        plan = _plan(
+            dedup.duplicated_span_stats(
+                docs, hash_mode=hash_mode, broadcast_dup=True
+            )
+        )
         assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
         assert "ArrowEvalPython" not in plan, plan
         assert "CartesianProduct" not in plan, plan

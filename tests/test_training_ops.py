@@ -1328,7 +1328,7 @@ def test_curation_pipeline_end_to_end(spark):
     """The full training-data curation flow composed from the engine's
     own operators on the shared fixture: exact dedup → MinHash near-dup
     keep-list → Gopher quality + language filters → span-level dedup
-    stats → PII scrub → benchmark decontamination → deterministic
+    stats → benchmark decontamination → PII scrub → deterministic
     domain-mix downsample → greedy sequence packing.  Pins that the
     stages compose (schemas line up, nothing collects driver-side
     except the final asserts) and that each stage only ever shrinks or
@@ -1370,23 +1370,27 @@ def test_curation_pipeline_end_to_end(spark):
     n3b = d3b.count()
     assert 0 < n3b <= n3
 
-    # 3c. PII scrub: survivors carry the redacted text forward
-    scrubbed = textstats.with_pii_flags(d3b).select(
-        "doc_id", F.col("redacted").alias("text"), "n_pii"
-    )
-    assert scrubbed.where(F.col("n_pii") > 0).count() == 0  # fixture clean
-
-    # 3d. benchmark decontamination: the held-out every-20th-doc slice
-    # plays the eval set (it contains the planted near-dups, so the
-    # stage genuinely fires on this fixture — the keep-list must drop
+    # 3c. benchmark decontamination BEFORE the PII scrub (both sides of
+    # the n-gram match must see identically-normalized text — redacting
+    # first would let a leaked passage containing an email escape): the
+    # held-out every-20th-doc slice plays the eval set (it contains the
+    # planted near-dups, so the stage genuinely fires — it must drop
     # any survivor sharing an 8-gram with it)
     bench = docs.where(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     dk = dedup.decontaminate_keep(
-        scrubbed.where(F.col("doc_id") % 20 != 0), bench, n=8
+        d3b.where(F.col("doc_id") % 20 != 0).select("doc_id", "text"),
+        bench, n=8,
     )
-    d3d = scrubbed.join(dk.where(F.col("keep")).select("doc_id"), "doc_id")
-    n3d = d3d.count()
-    assert 0 < n3d <= n3b
+    d3c = d3b.join(dk.where(F.col("keep")).select("doc_id"), "doc_id")
+    n3c = d3c.count()
+    assert 0 < n3c <= n3b
+
+    # 3d. PII scrub: survivors carry the redacted text forward
+    scrubbed = textstats.with_pii_flags(d3c).select(
+        "doc_id", F.col("redacted").alias("text"), "n_pii"
+    )
+    assert scrubbed.where(F.col("n_pii") > 0).count() == 0  # fixture clean
+    n3d = n3c
 
     # 3e. deterministic domain-mix downsample (id-keyed, no rand()):
     # synthetic domains at recipe weights; re-running must select the
@@ -1394,7 +1398,7 @@ def test_curation_pipeline_end_to_end(spark):
     from ts_process_spark.operators import sampling
 
     mixed = sampling.stratified_sample(
-        d3d.withColumn(
+        scrubbed.withColumn(
             "domain",
             F.when(F.col("doc_id") % 2 == 0, "web").otherwise("wiki"),
         ),
@@ -1937,8 +1941,8 @@ def test_span_dedup_hot_gram_skew(spark):
     worst-case key for any plan that hash-partitions raw windows by
     content.  Value contract: results are exact (vs an independent
     per-doc computation of the interval union) and IDENTICAL between
-    the broadcast attach (default) and the shuffle-join fallback
-    (``broadcast_dup=False``), across partitionings."""
+    the AQE-managed default and the forced broadcast attach
+    (``broadcast_dup=True``), across partitionings."""
     import pandas as pd
 
     boiler = "COMMON-FOOTER-BOILERPLATE"[:24]
@@ -1966,11 +1970,11 @@ def test_span_dedup_hot_gram_skew(spark):
         assert n_chars == len(rows[d][1]), got[d]
         assert dup_chars >= 144, got[d]
     assert got[40][3] == 0 and got[40][4] == 0
-    # fallback shuffle-join mode and a hostile partitioning agree exactly
+    # forced-broadcast mode and a hostile partitioning agree exactly
     fb = sorted(
         tuple(r)
         for r in dedup.duplicated_span_stats(
-            docs.repartition(13), broadcast_dup=False
+            docs.repartition(13), broadcast_dup=True
         ).collect()
     )
     assert fb == base

@@ -180,9 +180,10 @@ def span_docs_gen(spark, n_docs: int, partitions: int = 128) -> "object":
 def span_worker(cores: int, docs_path: str) -> None:
     """Span-level substring dedup at one parallelism level: the r7
     hardened plan (bounded explode → round-robin spread → partial-agg
-    occurrence count → broadcast dup-flag attach → one id-clustered
-    union/agg pass) over the pre-generated corpus; throughput in
-    chars/s, output pinned by an xor-fold hash."""
+    occurrence count → FORCED broadcast dup-flag attach — this corpus's
+    dup set is 200 boilerplate hash families, known tiny → one
+    id-clustered union/agg pass) over the pre-generated corpus;
+    throughput in chars/s, output pinned by an xor-fold hash."""
     from pyspark.sql import functions as F
 
     from ts_process_spark.operators.dedup import duplicated_span_stats
@@ -194,7 +195,7 @@ def span_worker(cores: int, docs_path: str) -> None:
     docs.count()  # page-cache warm, symmetric with the other legs
     t0 = time.time()
     agg = (
-        duplicated_span_stats(docs)
+        duplicated_span_stats(docs, broadcast_dup=True)
         .select(
             F.xxhash64(
                 "doc_id", "n_chars", "n_windows", "n_dup_windows",

@@ -815,7 +815,7 @@ def duplicated_span_stats(
     stride: int = SPAN_STRIDE,
     min_count: int = 2,
     hash_mode: str = "xxhash64",
-    broadcast_dup: bool = True,
+    broadcast_dup: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span statistics: which fraction of each
     doc's characters is covered by k-char windows whose content occurs
@@ -834,20 +834,23 @@ def duplicated_span_stats(
     (1) windows are a bounded explode of the scan; (2) occurrence
     counting is a partial-agg groupBy on a 64-bit hash — a boilerplate
     gram occurring 10⁸ times is collapsed to ONE row per map task
-    before the exchange, so the agg side never skews; (3) with
-    ``broadcast_dup`` (default), the distinct duplicated-hash set —
-    typically orders of magnitude smaller than the corpus — is
-    BROADCAST and the flag attach is a map-side left join: the window
-    stream is never exchanged on ``h`` at all, so a hot gram costs one
-    hash probe per window instead of sending 10⁸ rows to one reducer;
-    (4) totals and the interval union now ride ONE id-partitioned pass
-    (a conditional running-max window plus a clustering-satisfied
-    groupBy — no separate ``tot`` aggregate, no second consumer scan);
-    (5) the per-doc sort is bounded by len/stride rows.  No collect,
-    no Python, no all-pairs.  Set ``broadcast_dup=False`` only when the
-    duplicated-hash set itself cannot fit executor memory (then the
-    attach is a shuffle join on ``h`` and AQE's skew-join split is the
-    backstop)."""
+    before the exchange, so the agg side never skews; (3) the dup-flag
+    attach: by default a join AQE manages at runtime — when the
+    distinct duplicated-hash set turns out small (post-shuffle stats),
+    AQE converts it to a broadcast join on its own, and when it is
+    data-sized (real web corpora: every shared template gram
+    qualifies, easily 10⁹+ hashes — too big to broadcast), it stays a
+    shuffle join with AQE's skew-split as the hot-gram backstop.
+    ``broadcast_dup=True`` FORCES the map-side broadcast attach — the
+    window stream is then never exchanged on ``h`` at all (a hot gram
+    costs one hash probe per window) — for callers that KNOW their
+    duplicated-hash set fits executor memory; forcing it on an
+    unbounded corpus is an OOM, which is why it is not the default
+    (review r7); (4) totals and the interval union ride ONE
+    id-partitioned pass (a conditional running-max window plus a
+    clustering-satisfied groupBy — no separate ``tot`` aggregate, no
+    second consumer scan); (5) the per-doc sort is bounded by
+    len/stride rows.  No collect, no Python, no all-pairs."""
     w = span_windows(df, text_col, id_col, k, stride, hash_mode)
     # Spread ROUND-ROBIN, never hash-on-h: an explicit h-partitioning
     # here would ship RAW window rows keyed by content hash — the exact
@@ -1048,12 +1051,16 @@ def decontaminate_keep(
     n: int = 13,
     max_hits: int = 0,
     hash_mode: str = "xxhash64",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Keep decision from decontaminate_stats: a doc survives with at
     most ``max_hits`` contaminated n-gram positions (0 = the strict
-    drop-on-any-overlap protocol)."""
+    drop-on-any-overlap protocol).  ``broadcast_benchmark`` passes
+    through to decontaminate_stats — the escape hatch for an eval set
+    whose shingle set cannot fit executor memory."""
     stats = decontaminate_stats(
-        corpus, benchmark, text_col, id_col, n, hash_mode=hash_mode
+        corpus, benchmark, text_col, id_col, n, hash_mode=hash_mode,
+        broadcast_benchmark=broadcast_benchmark,
     )
     return stats.select(
         id_col,

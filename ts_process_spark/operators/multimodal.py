@@ -277,9 +277,8 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                              m["duration_us"], None)
                         )
                     elif cont == "wav":
-                        rate, data = decode_wav(b)
-                        nch = _wav_channels(b)
-                        n = data.size // nch
+                        rate, nch, n_data = _wav_info(b)
+                        n = n_data // 2 // nch
                         rows.append(
                             (mid, kind, cont, True, rate, nch, None, n,
                              rate * 16 * nch // 1000, True,
@@ -291,12 +290,17 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                         )
 
                         si = parse_streaminfo(b)
+                        if si["sample_rate"] <= 0:
+                            raise ValueError("STREAMINFO sample rate 0")
+                        # total-samples 0 means UNKNOWN length (RFC 9639
+                        # §8.2: streaming encoders leave it blank) — an
+                        # exact engine must say NULL, not "exactly 0"
+                        ns = si["n_samples"] or None
                         rows.append(
                             (mid, kind, cont, True, si["sample_rate"],
-                             si["channels"], None, si["n_samples"], None,
-                             None,
-                             si["n_samples"] * 1_000_000
-                             // si["sample_rate"],
+                             si["channels"], None, ns, None, None,
+                             None if ns is None
+                             else ns * 1_000_000 // si["sample_rate"],
                              None)
                         )
                     else:
@@ -306,7 +310,10 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                              f"no audio metadata for container {cont!r}")
                         )
                 except (NotImplementedError, ValueError, IndexError,
-                        KeyError, struct.error) as e:
+                        KeyError, struct.error, ZeroDivisionError) as e:
+                    # ZeroDivisionError covers hostile headers (WAV
+                    # channels=0 / rate=0) — a poisoned payload must
+                    # cost one row, never a task retry (review r7)
                     rows.append(
                         (mid, kind, cont, False, None, None, None, None,
                          None, None, None, f"{type(e).__name__}: {e}")
@@ -319,16 +326,33 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=MEDIA_METADATA_SCHEMA)
 
 
-def _wav_channels(payload: bytes) -> int:
-    """Channel count from the fmt chunk (decode_wav returns the flat
-    interleaved sample stream, so triage needs this one extra field)."""
-    pos = 12
+def _wav_info(payload: bytes) -> tuple[int, int, int]:
+    """Metadata-only RIFF walk → (sample_rate, channels, data_bytes):
+    ONE pass over the chunk list, no sample materialization — triage
+    cost is O(header), matching the FLAC STREAMINFO-only posture
+    (review r7: the first cut decoded the full PCM array just to count
+    frames, and re-walked the chunks separately for the channel
+    count).  Validates PCM16 and nonzero rate/channels loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, nch, n_data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt ":
-            return struct.unpack_from("<H", payload, pos + 10)[0]
-        pos += 8 + clen + (clen % 2)
-    raise ValueError("missing fmt chunk")
+            audio_fmt, nch, rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 8 + 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            n_data = min(clen, len(payload) - pos - 8)
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if rate is None or n_data is None:
+        raise ValueError("missing fmt/data chunk")
+    if rate <= 0 or nch <= 0:
+        raise ValueError(f"invalid fmt: rate={rate} channels={nch}")
+    return rate, nch, n_data
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
