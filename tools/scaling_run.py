@@ -482,8 +482,10 @@ recurrence over {n_stations} stations:
 ## Workload 2b — span-level substring dedup (shuffle + broadcast join)
 
 `duplicated_span_stats` (the r7-hardened plan: bounded window explode →
-round-robin spread → map-side-combined occurrence count → BROADCAST
-dup-flag attach → one id-clustered union/agg pass) over a deterministic
+round-robin spread → map-side-combined occurrence count → FORCED
+broadcast dup-flag attach, `broadcast_dup=True` — this corpus's dup set
+is 200 known-tiny hash families → one id-clustered union/agg pass) over
+a deterministic
 {span[8]['chars']:,}-char corpus in which every doc carries one of 200
 boilerplate snippets and every 5th doc a hot snippet-0 copy:
 
