@@ -109,6 +109,62 @@ def test_strict_failures():
         parse_mp3(b"")
 
 
+def test_mp3_parse_synth_property():
+    """Property: for ANY structurally-valid synthesized stream, the
+    parser recovers exactly the generation parameters — version, rate,
+    channel count, frame count, per-frame bitrate arithmetic (via
+    n_audio_bytes), CBR flag, tag presence."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_process_spark.functions.mp3 import (
+        _BITRATE_V1_L3, _BITRATE_V2_L3, _RATES, _SPF,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        version=st.sampled_from(["1", "2", "2.5"]),
+        sr_idx=st.integers(0, 2),
+        brs=st.lists(st.integers(1, 14), min_size=1, max_size=12),
+        mono=st.booleans(),
+        id3v2=st.integers(0, 64),
+        id3v1=st.booleans(),
+        pad_every=st.integers(0, 4),
+        seed=st.integers(0, 1000),
+    )
+    def check(version, sr_idx, brs, mono, id3v2, id3v1, pad_every, seed):
+        b = synth_mp3(
+            n_frames=len(brs), version=version, sr_idx=sr_idx,
+            bitrate_indices=brs, mono=mono, id3v2_body=id3v2,
+            id3v1=id3v1, pad_every=pad_every, seed=seed,
+        )
+        m = parse_mp3(b)
+        table = _BITRATE_V1_L3 if version == "1" else _BITRATE_V2_L3
+        rate = _RATES[version][sr_idx]
+        spf = _SPF[version]
+        want_bytes = sum(
+            (spf // 8) * table[i] * 1000 // rate
+            + (1 if pad_every and (fr + 1) % pad_every == 0 else 0)
+            for fr, i in enumerate(brs)
+        )
+        assert m["version"] == version
+        assert m["sample_rate"] == rate
+        assert m["channels"] == (1 if mono else 2)
+        assert m["n_frames"] == len(brs)
+        assert m["n_samples"] == len(brs) * spf
+        assert m["bitrate_kbps"] == table[brs[0]]
+        assert m["is_cbr"] == (len(set(brs)) == 1)
+        assert m["n_audio_bytes"] == want_bytes
+        assert m["duration_us"] == len(brs) * spf * 1_000_000 // rate
+        assert m["has_id3v2"] == (id3v2 > 0)
+        assert m["has_id3v1"] == id3v1
+        # and the parse is strict about tail truncation
+        with pytest.raises(ValueError):
+            parse_mp3(b[:-1])
+
+    check()
+
+
 def test_decode_audio_mp3_boundary():
     """decode_audio stays the loud sample boundary but now names the
     metadata path; decoded_stats downgrades it to decoded_ok=false."""
