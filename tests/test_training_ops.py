@@ -1980,6 +1980,99 @@ def test_span_dedup_hot_gram_skew(spark):
     assert fb == base
 
 
+# ------------------------------------------------- duplicate-line removal
+
+
+def test_dedup_lines_crafted(spark):
+    """Hand-checkable semantics: first occurrence kept in order, later
+    repeats dropped; blank lines preserved under the default (paragraph
+    structure is meaning) and collapsible under blank_lines='dedup';
+    empty/NULL docs normalize to ''."""
+    rows = [
+        (0, "a\nb\na\nc\nb\nd"),
+        (1, "x\n\n\nx\n\ny"),
+        (2, ""),
+        (3, None),
+        (4, "footer\nbody\nfooter\nfooter"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r["text"] for r in textstats.dedup_lines(df).collect()}
+    assert got == {
+        0: "a\nb\nc\nd",
+        1: "x\n\n\n\ny",
+        2: "",
+        3: "",
+        4: "footer\nbody",
+    }
+    blanks = {
+        r["doc_id"]: r["text"]
+        for r in textstats.dedup_lines(df, blank_lines="dedup").collect()
+    }
+    assert blanks[1] == "x\n\ny"
+    with pytest.raises(ValueError, match="blank_lines"):
+        textstats.dedup_lines(df, blank_lines="drop")
+
+
+DEDUP_LINES_SQL = """
+WITH ls AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
+  FROM documents
+), ln AS (
+  SELECT doc_id, i AS pos, arr[i] AS line
+  FROM ls, LATERAL unnest(range(1, len(arr) + 1)) AS r(i)
+), kept AS (
+  SELECT doc_id, line,
+         CASE WHEN line = '' THEN pos END AS disc,
+         min(pos) AS pos
+  FROM ln GROUP BY 1, 2, 3
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY 1
+"""
+
+
+def test_dedup_lines_matches_duckdb(spark):
+    """The rewrite is value-checked STRING-FOR-STRING against a DuckDB
+    replica of the same first-occurrence + blank-preserving semantics
+    over the real documents table, and is partition-invariant."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in textstats.dedup_lines(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(DEDUP_LINES_SQL).fetchall()))
+    assert got == want
+    shuffled = sorted(
+        (r["doc_id"], r["text"])
+        for r in textstats.dedup_lines(docs.repartition(7)).collect()
+    )
+    assert shuffled == got
+
+
+def test_dedup_lines_plan_shape(spark):
+    """The boilerplate-collapse guarantee: the first-occurrence pick is
+    a PARTIAL min aggregate (a 10⁴× repeated footer collapses map-side
+    before any exchange), the whole transform stays JVM-side, and the
+    rebuild is the only other exchange."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        textstats.dedup_lines(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert re.search(r"partial_min", plan), plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 # ------------------------------------------------------- semantic dedup
 
 

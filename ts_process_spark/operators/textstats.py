@@ -531,3 +531,70 @@ def with_pii_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("redacted", red)
         .withColumn("pii_free", n_pii == 0)
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blank_lines: str = "keep",
+) -> DataFrame:
+    """Within-document duplicate-line removal — the CCNet/RefinedWeb
+    cleaning TRANSFORM behind the Gopher ``ok_dup_lines`` flag this
+    module already computes: keep the FIRST occurrence of every
+    distinct line, preserve original order, drop later repeats
+    (navigation chrome, repeated headers, boilerplate footers).
+
+    ``blank_lines='keep'`` (default) preserves every empty line —
+    paragraph structure is meaning, and "" repeating is not
+    boilerplate; ``'dedup'`` treats "" like any other line.
+
+    Returns ``(id_col, text)`` with the rewritten text for EVERY input
+    doc (NULL text → empty string, matching the engine-wide coalesce
+    convention).
+
+    Scale shape: split is a bounded explode (one row per line); the
+    first-occurrence pick is a min(pos) PARTIAL aggregate on
+    (id, line) — a footer line repeated 10⁴ times in one doc collapses
+    map-side to a single row before its exchange, exactly the
+    boilerplate this transform exists to remove — and the rebuild is a
+    second aggregate on id with an order-restoring array sort.  Two
+    bounded exchanges, no Python, no collect; line order is restored
+    exactly by the original line index, never by engine row order.
+    (A row_number-window variant was rejected: it must SHUFFLE every
+    raw duplicate line to rank it, forfeiting the combine.)"""
+    if blank_lines not in ("keep", "dedup"):
+        raise ValueError("blank_lines must be 'keep' or 'dedup'")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
+    )
+    # blanks in 'keep' mode get a per-position discriminator so the
+    # dedup aggregate cannot collapse them (paragraph breaks survive)
+    disc = (
+        F.when(F.col("line") == "", F.col("pos"))
+        if blank_lines == "keep"
+        else F.lit(None).cast("int")
+    )
+    kept = (
+        lines.withColumn("disc", disc)
+        .groupBy("id", "line", "disc")
+        .agg(F.min("pos").alias("pos"))
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+        .select(F.col("id").alias(id_col), text_col)
+    )
