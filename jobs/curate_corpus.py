@@ -20,6 +20,7 @@ Stages, in order (each skippable via --skip):
   exact     exact dedup (md5 of text, min-id survives)
   neardup   MinHash+LSH near-dup keep-list (connected components)
   quality   Gopher rules + language-ID == en
+  lines     within-doc duplicate-line removal (rewrites text)
   span      span-level substring dedup budget (<= max-dup-pct chars)
   decontam  benchmark n-gram decontamination (needs --benchmark) —
             runs BEFORE the PII scrub so both sides of the n-gram
@@ -70,8 +71,8 @@ def main() -> None:
                     help="comma-separated stage names to skip")
     ap.add_argument("--no-counts", action="store_true")
     args = ap.parse_args()
-    stages = {"exact", "neardup", "quality", "span", "decontam", "pii",
-              "mix", "pack"}
+    stages = {"exact", "neardup", "quality", "lines", "span", "decontam",
+              "pii", "mix", "pack"}
     skip = {s.strip() for s in args.skip.split(",") if s.strip()}
     unknown = skip - stages
     if unknown:
@@ -128,6 +129,18 @@ def main() -> None:
             flagged.where(
                 F.col("gopher_pass") & (F.col("lang_pred") == "en")
             ).select(d.columns),
+        )
+
+    if "lines" not in skip:
+        cols = [c for c in d.columns if c != "text"]
+        cleaned = textstats.dedup_lines(d).withColumnRenamed(
+            "text", "__clean"
+        )
+        d = count_stage(
+            "lines",
+            d.join(cleaned, "doc_id").select(
+                *cols, F.col("__clean").alias("text")
+            ),
         )
 
     if "span" not in skip:
