@@ -154,6 +154,66 @@ def test_upsample_epochs_exact(spark):
         sampling.upsample_epochs(docs, -5)
 
 
+def test_assign_split_matches_duckdb(spark):
+    """Split assignment is exhaustive (every row labeled), exclusive
+    (one label per row), replayed exactly by DuckDB range arithmetic,
+    stable under incremental arrival (a subset gets identical labels),
+    and loud about shares that don't sum to 10^6."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    splits = {"train": 980_000, "val": 10_000, "test": 10_000}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(docs, splits).select(
+            "doc_id", "split"
+        ).collect()
+    }
+    assert len(got) == 500 and set(got.values()) <= set(splits)
+    # DuckDB replica: contiguous ranges over the same draw, names in
+    # sorted order (test < train < val)
+    bounds, acc = [], 0
+    for name in sorted(splits):
+        acc += splits[name]
+        bounds.append((name, sampling._threshold(acc)))
+    case = " ".join(
+        f"WHEN d < {thr} THEN '{name}'" for name, thr in bounds
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"""
+SELECT doc_id, CASE {case} END FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)),
+                         1, 15))::BIGINT AS d
+  FROM documents)
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # hashlib replica and share sanity
+    py = {
+        i: next(n for n, t in bounds if _draw("split-v1", i) < t)
+        for i in got
+    }
+    assert py == got
+    assert sum(1 for v in got.values() if v == "train") > 440
+    # incremental arrival: a filtered subset keeps identical labels
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_split(
+            docs.where("doc_id % 3 = 0"), splits
+        ).select("doc_id", "split").collect()
+    }
+    assert all(got[i] == s for i, s in sub.items())
+    with pytest.raises(ValueError, match="sum to exactly"):
+        sampling.assign_split(docs, {"train": 990_000, "val": 10_001})
+    with pytest.raises(ValueError, match="positive"):
+        sampling.assign_split(docs, {"train": 1_000_001, "val": -1})
+
+
 def test_sampling_plan_is_scan_filter(spark):
     """Sampling must never cost a shuffle or a Python stage: one scan,
     one filter, literal thresholds."""

@@ -114,3 +114,46 @@ def upsample_epochs(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    splits_ppm: "dict[str, int]",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: partition the
+    hash space into contiguous ranges proportional to ``splits_ppm``
+    (which must sum to exactly 10^6 — a silent remainder would be an
+    unlabeled shard) and label each row by where its ``hash60(salt:id)``
+    draw lands.  Being id-keyed, the assignment survives re-runs,
+    repartitioning, engine changes, and INCREMENTAL ARRIVALS: a doc
+    ingested next month lands in the same split it would have today,
+    so val/test never bleed into train as the corpus grows — the
+    property a rand()-based or row-number split cannot give.
+
+    One scan projection (a CASE over the draw, thresholds as plan
+    literals) — no exchange, no Python.  Assignment order is the
+    sorted split names, so the mapping is a pure function of
+    (splits_ppm, salt), not dict insertion order."""
+    total = sum(splits_ppm.values())
+    if total != PPM:
+        raise ValueError(
+            f"splits_ppm must sum to exactly {PPM}, got {total} — a "
+            "remainder would leave rows in no split"
+        )
+    if any(v <= 0 for v in splits_ppm.values()):
+        raise ValueError("every split needs a positive ppm share")
+    draw = sample_draw(F.col(id_col), salt)
+    expr: Column | None = None
+    acc = 0
+    for name, ppm in sorted(splits_ppm.items()):
+        acc += ppm
+        cond = draw < F.lit(_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # acc == PPM ⇒ the last threshold is 2^60, an all-covering bound;
+    # the otherwise() is unreachable but keeps the column non-null
+    # under any future arithmetic drift
+    last = sorted(splits_ppm)[-1]
+    return df.withColumn(split_col, expr.otherwise(F.lit(last)))
