@@ -84,6 +84,27 @@ def main() -> None:
                  "let an uncontaminated-looking corpus ship unchecked)")
     if "mix" not in skip and not args.weights:
         ap.error("domain mixing needs --weights (or list mix in --skip)")
+    # parse + validate --weights HERE, not inside the mix stage: by the
+    # time mix runs, exact/neardup/quality/lines/span/decontam/pii have
+    # each executed a counted Spark action — a malformed JSON string or
+    # a fractional rate must abort before hours of work, not after
+    # (ADVICE r7)
+    weights = None
+    if args.weights is not None:
+        try:
+            weights = json.loads(args.weights)
+        except json.JSONDecodeError as e:
+            ap.error(f"--weights is not valid JSON: {e}")
+        if not isinstance(weights, dict):
+            ap.error("--weights must be a JSON object domain -> ppm")
+        bad = {k: v for k, v in weights.items()
+               if not isinstance(v, int) or isinstance(v, bool)}
+        if bad:
+            ap.error(
+                f"--weights values must be integer ppm (0..1000000), got "
+                f"{bad} — a fraction like 0.8 would silently truncate to "
+                "rate 0 and drop the whole domain"
+            )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -171,17 +192,7 @@ def main() -> None:
             ),
         )
 
-    if "mix" not in skip and args.weights:
-        raw_w = json.loads(args.weights)
-        bad = {k: v for k, v in raw_w.items()
-               if not isinstance(v, int) or isinstance(v, bool)}
-        if bad:
-            raise SystemExit(
-                f"--weights values must be integer ppm (0..1000000), got "
-                f"{bad} — a fraction like 0.8 would silently truncate to "
-                "rate 0 and drop the whole domain"
-            )
-        weights = raw_w
+    if "mix" not in skip and weights is not None:
         d = count_stage(
             "mix",
             sampling.stratified_sample(

@@ -372,6 +372,29 @@ def test_media_metadata_hostile_headers(spark):
     assert "channels=0" in wv["err"]
 
 
+def test_media_metadata_truncated_wav(spark):
+    """ADVICE r7: a WAV cut mid-data-chunk (the web-crawl truncation
+    case) must triage to ONE meta_ok=false row with the truncation
+    named — never a meta_ok=true row with a silently reduced
+    n_samples/duration — matching parse_mp3's truncated-frame and
+    decode_flac's trailing-byte strictness.  decode_wav must refuse the
+    same payload rather than fabricate a shorter sample array."""
+    import numpy as np
+
+    s = (np.arange(100, dtype=np.int64) * 13 % 512 - 256).astype(np.int16)
+    wav = multimodal.encode_wav(s, 16000)
+    torn = wav[:-7]  # data header still promises 200 bytes
+    media = spark.createDataFrame(
+        [(0, "audio", torn, _meta(torn))], multimodal.MEDIA_SCHEMA
+    )
+    (r,) = multimodal.extract_media_metadata(media).collect()
+    assert (r["container"], r["meta_ok"]) == ("wav", False)
+    assert "truncated data chunk" in r["err"]
+    assert r["n_samples"] is None and r["duration_us"] is None
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(torn)
+
+
 def test_media_metadata_plan_is_single_pass(spark):
     """Triage must stay a single Arrow scan: no exchange, no join, one
     mapInPandas stage."""

@@ -346,7 +346,17 @@ def _wav_info(payload: bytes) -> tuple[int, int, int]:
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError("only PCM16 WAV supported")
         elif cid == b"data":
-            n_data = min(clen, len(payload) - pos - 8)
+            if clen > len(payload) - pos - 8:
+                # truncated data chunk: a web-crawled WAV cut mid-stream
+                # must become a meta_ok=false triage row, not enter the
+                # corpus with a silently reduced duration — same loud
+                # posture as parse_mp3 (truncated frame) and decode_flac
+                # (trailing bytes)  (ADVICE r7)
+                raise ValueError(
+                    f"truncated data chunk: header says {clen} bytes, "
+                    f"payload carries {len(payload) - pos - 8}"
+                )
+            n_data = clen
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
     if rate is None or n_data is None:
         raise ValueError("missing fmt/data chunk")
@@ -363,6 +373,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     pos, rate, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
+        if clen > len(payload) - pos - 8:
+            # aligned with _wav_info: decode must not fabricate a
+            # shorter sample array from a truncated chunk (ADVICE r7)
+            raise ValueError(
+                f"truncated {cid!r} chunk: header says {clen} bytes, "
+                f"payload carries {len(payload) - pos - 8}"
+            )
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             audio_fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
