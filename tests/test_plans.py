@@ -72,9 +72,12 @@ def test_jvm_rollup_is_hash_aggregate(spark):
 
 
 def test_dim_join_is_broadcast(spark):
-    import __spark_entry__ as E
+    # user_nation_rollup rotated out of the 50-slot gate in round 8
+    # (value pin in test_rotated_out_slots); its broadcast plan shape
+    # stays pinned here
+    from ts_process_spark.queries_ts import q_user_nation_rollup
 
-    df = E.queries()["user_nation_rollup"](spark, SF_DIR)
+    df = q_user_nation_rollup(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan

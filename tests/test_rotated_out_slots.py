@@ -10,6 +10,12 @@
   could be value-checked; batch sessionize left so stream_sessionize
   (the applyInPandasWithState custom-state streaming class) could —
   the streaming query subsumes the batch session semantics.
+- round 8 (VERDICT r7 #1/#2/#6/#7): cube_counts / pricing_summary
+  (judge-named SQL-trivial), user_nation_rollup (broadcast-dim-join
+  semantics also gate-covered by first_crossing) and sync_streams (J1
+  grid alignment also gate-covered bit-exactly by signal_synchronize)
+  left so doc_decontam / emb_semdedup / multimodal_media_metadata /
+  stream_dedup could be value-checked.
 
 The rotated-out queries and their oracles stay in queries_ts.py; this
 test keeps them green with the same strict value compare the gate
@@ -28,7 +34,7 @@ SF = "/root/testdata/sf0.001"
 
 def test_rotated_out_slots_match_oracles(spark):
     con = duckdb.connect()
-    for t in ("events", "lineitem"):
+    for t in ("events", "lineitem", "customer", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     pairs = [
         (QT.q_haversine, QT.SQL_HAVERSINE),
@@ -40,13 +46,20 @@ def test_rotated_out_slots_match_oracles(spark):
         (QT.q_top3_per_supplier, QT.SQL_TOP3_PER_SUPPLIER),
         (QT.q_median_by_type, QT.SQL_MEDIAN_BY_TYPE),
         (QT.q_sessionize, QT.SQL_SESSIONIZE),
+        (QT.q_cube_counts, QT.SQL_CUBE_COUNTS),
+        (QT.q_pricing_summary, QT.SQL_PRICING_SUMMARY),
+        (QT.q_user_nation_rollup, QT.SQL_USER_NATION_ROLLUP),
+        (QT.q_sync_streams, QT.SQL_SYNC_STREAMS),
     ]
+    # None-safe sort key: CUBE rows carry NULL grouping cells
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
     for fn, sql in pairs:
         df = fn(spark, SF)
         cols = df.columns
-        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        got = sorted((tuple(r[c] for c in cols) for r in df.collect()),
+                     key=key)
         want_rel = con.execute(sql)
         duck_cols = [d[0] for d in want_rel.description]
         assert duck_cols == cols, (fn.__name__, duck_cols, cols)
-        want = sorted(tuple(r) for r in want_rel.fetchall())
+        want = sorted((tuple(r) for r in want_rel.fetchall()), key=key)
         assert got == want, fn.__name__

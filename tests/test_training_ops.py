@@ -2120,27 +2120,10 @@ def test_semantic_dedup_crafted(spark):
     assert keep == {0: True, 1: True, 2: False, 3: False, 4: True, 5: False}
 
 
-SEMDEDUP_SQL_TMPL = """
-WITH {e_ctes},
-{cells_cte},
-{ass_cte},
-pairs AS (
-    SELECT a.id AS id_a, {cos} AS cos
-    FROM ass a JOIN ass b USING (cell_id)
-    WHERE b.id < a.id
-), per_id AS (
-    SELECT id_a,
-           CAST(sum(CASE WHEN cos >= {thr} THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_dup_neighbors,
-           max(cos) AS max_cos_lower
-    FROM pairs GROUP BY 1
-)
-SELECT ass.id AS vec_id, ass.cell_id,
-       coalesce(p.n_dup_neighbors, 0) AS n_dup_neighbors,
-       p.max_cos_lower,
-       coalesce(p.n_dup_neighbors, 0) > 0 AS is_dup
-FROM ass LEFT JOIN per_id p ON ass.id = p.id_a
-"""
+# The SemDeDup oracle SQL now lives in queries_docs._sql_emb_semdedup
+# (it is a gate slot since round 8); the test below exercises that
+# exact builder so the pytest twin and the driver gate cannot drift.
+
 
 
 def test_semantic_dedup_matches_duckdb(spark):
@@ -2165,13 +2148,7 @@ def test_semantic_dedup_matches_duckdb(spark):
             embs, n_cells=16, threshold=0.4
         ).collect()
     )
-    sql = SEMDEDUP_SQL_TMPL.format(
-        e_ctes=QD._EMB_E_CTES,
-        cells_cte=QD._IVF_CELLS_CTE,
-        ass_cte=QD._IVF_ASS_CTE,
-        cos=QD._cos_sql("a.q", "b.q"),
-        thr="0.4",
-    )
+    sql = QD._sql_emb_semdedup(0.4)
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
@@ -2263,38 +2240,9 @@ def test_decontaminate_crafted(spark):
         dedup.token_ngram_hashes(corpus, n=0)
 
 
-DECONTAM_SQL = r"""
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(coalesce(text, '')),
-                     '[ \t\n\x0B\f\r]+'), w -> w <> '') AS toks
-  FROM documents
-), g AS (
-  SELECT doc_id,
-         ('0x' || substr(md5(array_to_string(
-             list_slice(toks, i, i + {n} - 1), ' ')), 1, 15))::BIGINT AS h
-  FROM tok, LATERAL unnest(range(1, len(toks) - {n} + 2)) AS t(i)
-  WHERE len(toks) >= {n}
-), bench AS (
-  SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0
-), counts AS (
-  SELECT g.doc_id, count(*) AS n_ngrams,
-         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_contaminated
-  FROM g LEFT JOIN bench USING (h)
-  WHERE g.doc_id % 20 <> 0
-  GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(len(list_filter(string_split_regex(trim(coalesce(d.text,
-            '')), '[ \t\n\x0B\f\r]+'), w -> w <> '')) AS BIGINT)
-         AS n_tokens,
-       coalesce(c.n_ngrams, 0) AS n_ngrams,
-       coalesce(c.n_contaminated, 0) AS n_contaminated,
-       coalesce(c.n_contaminated, 0) > 0 AS contaminated
-FROM documents d LEFT JOIN counts c USING (doc_id)
-WHERE d.doc_id % 20 <> 0
-"""
+# The decontamination oracle SQL now lives in queries_docs._sql_doc_decontam
+# (a gate slot since round 8); exercised directly below.
+
 
 
 def test_decontaminate_matches_duckdb_and_prod_twin(spark):
@@ -2304,6 +2252,8 @@ def test_decontaminate_matches_duckdb_and_prod_twin(spark):
     production mode must agree exactly (no 64-bit collisions here);
     partition-invariant."""
     import duckdb
+
+    from ts_process_spark import queries_docs as QDOCS
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -2320,7 +2270,7 @@ def test_decontaminate_matches_duckdb_and_prod_twin(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
     want = sorted(
-        map(tuple, con.execute(DECONTAM_SQL.replace("{n}", "8")).fetchall())
+        map(tuple, con.execute(QDOCS._sql_doc_decontam(8)).fetchall())
     )
     assert got == want
     assert any(r[4] for r in got)  # the overlap is real, not vacuous

@@ -1240,6 +1240,192 @@ FROM d LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination under the value gate (VERDICT r7 #1):
+    every 20th document stands in for the evaluation set (the generator
+    seeds near-duplicates across that split, so the n-gram overlap is
+    earned, not vacuous), the rest are the corpus, and
+    dedup.decontaminate_stats flags every corpus doc sharing a token
+    8-gram with the benchmark — in md5 hash mode so the DuckDB oracle
+    replays the identical shingle hashes.  The xxhash64 production mode
+    is the same plan with a cheaper hash (pinned equal in
+    tests/test_training_ops.py::test_decontaminate_matches_duckdb_and_prod_twin)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate_stats(corpus, bench, n=8, hash_mode="md5")
+
+
+def _sql_doc_decontam(n: int = 8) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_WORDS_SQL} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(
+             list_slice(toks, i, i + {n} - 1), ' ')), 1, 15))::BIGINT AS h
+  FROM tok, LATERAL unnest(range(1, len(toks) - {n} + 2)) AS t(i)
+  WHERE len(toks) >= {n}
+), bench AS (
+  SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0
+), counts AS (
+  SELECT g.doc_id, count(*) AS n_ngrams,
+         CAST(sum(CASE WHEN bench.h IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated
+  FROM g LEFT JOIN bench USING (h)
+  WHERE g.doc_id % 20 <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens,
+       coalesce(c.n_ngrams, 0) AS n_ngrams,
+       coalesce(c.n_contaminated, 0) AS n_contaminated,
+       coalesce(c.n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN counts c USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the value gate (VERDICT r7 #2): coarse-quantizer
+    clustering (first-16 codebook), within-cell lower-id pairwise
+    cosine, threshold 0.4 (≈ the fixture's 99.9th-pct pair cosine — the
+    synthetic embeddings carry correlation structure, not literal
+    copies, so the non-vacuity bar sits there, same convention as
+    emb_neardup at 0.35)."""
+    return similarity.semantic_dedup_stats(
+        _embs(spark, sf_dir), n_cells=16, threshold=0.4
+    )
+
+
+def _sql_emb_semdedup(threshold: float = 0.4) -> str:
+    return f"""
+WITH {_EMB_E_CTES},
+{_IVF_CELLS_CTE},
+{_IVF_ASS_CTE},
+pairs AS (
+    SELECT a.id AS id_a, {_cos_sql("a.q", "b.q")} AS cos
+    FROM ass a JOIN ass b USING (cell_id)
+    WHERE b.id < a.id
+), per_id AS (
+    SELECT id_a,
+           CAST(sum(CASE WHEN cos >= {threshold} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_neighbors,
+           max(cos) AS max_cos_lower
+    FROM pairs GROUP BY 1
+)
+SELECT ass.id AS vec_id, ass.cell_id,
+       coalesce(p.n_dup_neighbors, 0) AS n_dup_neighbors,
+       p.max_cos_lower,
+       coalesce(p.n_dup_neighbors, 0) > 0 AS is_dup
+FROM ass LEFT JOIN per_id p ON ass.id = p.id_a
+"""
+
+
+def q_multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-container triage under the value gate (VERDICT r7 #7):
+    deterministic structurally-valid MP3 payloads — version / sample
+    rate / bitrate / frame count / padding cadence / ID3 tags all pure
+    functions of doc_id — are synthesized per document (the fixture
+    GENERATION is the only Python stage; the operator under test is
+    multimodal.extract_media_metadata's single mapInPandas header
+    walk).  Every 7th payload is torn 3 bytes short mid-frame, so the
+    strict truncated-frame triage (meta_ok=false, all-NULL metadata) is
+    value-checked alongside the happy path.  The DuckDB oracle never
+    sees a payload byte: it re-derives every column from the generation
+    parameters with integer SQL — a single off-by-one in the
+    frame-length or duration math on either side breaks the hash.  The
+    ``err`` text is projected out (exception messages are not a stable
+    cross-engine surface); its content is pinned by tests/test_mp3.py."""
+    import pandas as pd
+
+    from ts_process_spark.functions.mp3 import synth_mp3
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                poison = mid % 7 == 0
+                b = synth_mp3(
+                    n_frames=2 + mid % 9,
+                    version=("1", "2", "2.5")[mid % 3],
+                    sr_idx=mid % 3,
+                    bitrate_indices=1 + mid % 14,
+                    mono=mid % 2 == 1,
+                    id3v2_body=0 if poison else (mid % 5) * 13,
+                    id3v1=(not poison) and mid % 3 == 0,
+                    pad_every=mid % 4,
+                    seed=mid,
+                )
+                if poison:
+                    b = b[:-3]  # tear the last frame (body ≥ 4 bytes)
+                rows.append(
+                    (mid, "audio", b,
+                     {"width": None, "height": None, "sample_rate": None,
+                      "n_bytes": len(b)})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    media = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(gen, schema=multimodal.MEDIA_SCHEMA)
+    )
+    return multimodal.extract_media_metadata(media).drop("err")
+
+
+def _sql_multimodal_media_metadata() -> str:
+    return """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2' ELSE '2.5' END
+             AS version,
+         doc_id % 3 AS sr_idx,
+         1 + doc_id % 14 AS br_idx,
+         2 + doc_id % 9 AS n_frames,
+         doc_id % 2 = 1 AS mono,
+         doc_id % 7 = 0 AS poison
+  FROM documents
+), q AS (
+  SELECT media_id, n_frames, mono, poison,
+         CASE version
+           WHEN '1' THEN CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                     ELSE 32000 END
+           WHEN '2' THEN CASE sr_idx WHEN 0 THEN 22050 WHEN 1 THEN 24000
+                                     ELSE 16000 END
+           ELSE          CASE sr_idx WHEN 0 THEN 11025 WHEN 1 THEN 12000
+                                     ELSE  8000 END
+         END AS rate,
+         CASE WHEN version = '1'
+           THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                             CAST(br_idx AS INTEGER))
+           ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,144,160],
+                             CAST(br_idx AS INTEGER))
+         END AS kbps,
+         CASE WHEN version = '1' THEN 1152 ELSE 576 END AS spf
+  FROM p
+)
+SELECT media_id, 'audio' AS kind, 'mp3' AS container,
+       NOT poison AS meta_ok,
+       CASE WHEN poison THEN NULL ELSE CAST(rate AS BIGINT) END AS sample_rate,
+       CASE WHEN poison THEN NULL
+            ELSE CAST(CASE WHEN mono THEN 1 ELSE 2 END AS BIGINT)
+       END AS channels,
+       CASE WHEN poison THEN NULL ELSE CAST(n_frames AS BIGINT) END AS n_frames,
+       CASE WHEN poison THEN NULL
+            ELSE CAST(n_frames * spf AS BIGINT) END AS n_samples,
+       CASE WHEN poison THEN NULL ELSE CAST(kbps AS BIGINT) END AS bitrate_kbps,
+       CASE WHEN poison THEN NULL ELSE TRUE END AS is_cbr,
+       CASE WHEN poison THEN NULL
+            ELSE CAST(n_frames * spf * 1000000 // rate AS BIGINT)
+       END AS duration_us
+FROM q
+"""
+
+
 def queries_docs() -> dict[str, object]:
     """Driver registry (docs/embeddings slice).
 
@@ -1284,6 +1470,18 @@ def queries_docs() -> dict[str, object]:
         # dedup family member the engine lacked — gets a value-checked
         # CORRECTNESS row.
         "doc_span_dedup": q_doc_span_dedup,
+        # round-8 rotation (VERDICT r7 #1/#2/#7): cube_counts /
+        # pricing_summary / user_nation_rollup / sync_streams left the
+        # ts slice (SQL-trivial cube / multi-agg / broadcast-dim-join /
+        # full-outer-grid semantics that also ride inside other green
+        # slots; pinned in tests/test_rotated_out_slots.py) so the
+        # flagship eval-integrity op (decontamination), SemDeDup, the
+        # MP3/triage metadata walk, and the third streaming class
+        # (stream_dedup, in queries_ts) get value-checked rows —
+        # completing gate coverage of the whole dedup family.
+        "doc_decontam": q_doc_decontam,
+        "emb_semdedup": q_emb_semdedup,
+        "multimodal_media_metadata": q_multimodal_media_metadata,
         "emb_knn": q_emb_knn,
         "emb_srp_ann": q_emb_srp_ann,
         "emb_ivf_ann": q_emb_ivf_ann,
@@ -1313,6 +1511,9 @@ def oracles_docs() -> dict[str, str | None]:
         "emb_ivfpq_ann": _sql_emb_ivfpq_ann(),
         "doc_pii_scrub": _sql_doc_pii_scrub(),
         "doc_span_dedup": _sql_doc_span_dedup(),
+        "doc_decontam": _sql_doc_decontam(),
+        "emb_semdedup": _sql_emb_semdedup(),
+        "multimodal_media_metadata": _sql_multimodal_media_metadata(),
         "emb_knn": SQL_EMB_KNN,
         "emb_srp_ann": _sql_emb_srp_ann(),
         "emb_ivf_ann": _sql_emb_ivf_ann(),

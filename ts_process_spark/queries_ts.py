@@ -1212,6 +1212,69 @@ WHERE end_us + 1800000000 < wm_us
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The state-store dedup streaming class under the value gate
+    (VERDICT r7 #6): streaming exact dedup via
+    dropDuplicatesWithinWatermark (streaming/ingest.stream_exact_dedup)
+    driven to completion over the static events table, same
+    single-micro-batch delivery technique as stream_sessionize.
+
+    Determinism contract: the watermark delay (3650 days) exceeds the
+    fixture's whole time span, so within-delay dedup — the operator's
+    GUARANTEE, not an implementation accident of batch boundaries — is
+    total: exactly one row survives per distinct (conv_id, text-digest)
+    key.  WHICH physical row survives (its ts) is arrival-order
+    dependent, and the digest is xxhash64 (not DuckDB-reproducible), so
+    the gate projects the deterministic surface: (conv_id, text) of the
+    kept rows, which the oracle reproduces as SELECT DISTINCT.  A
+    streaming bug that emits a duplicate or drops a key breaks the
+    row-count and hash.  The watermark EVICTION behavior (keys expiring
+    from state) is pinned separately by pytest
+    (tests/test_streaming.py)."""
+    import os
+    import tempfile
+    import uuid
+
+    from ts_process_spark.streaming.ingest import stream_exact_dedup
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="stream_dedup_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+    schema = spark.read.parquet(src).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    turns = raw.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+    )
+    kept = stream_exact_dedup(turns, watermark="3650 days")
+    name = "qdedup_" + uuid.uuid4().hex[:8]
+    q = (
+        kept.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT conv_id, text FROM {name}")
+
+
+SQL_STREAM_DEDUP = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id,
+       coalesce(props, '') AS text
+FROM events WHERE ts IS NOT NULL
+"""
+
+
 # ------------------------------------------- oracle-checked tier cascade
 
 
@@ -1487,10 +1550,12 @@ def queries_ts() -> dict[str, object]:
         # event-time timeout — gets a value-checked slot; the streaming
         # query subsumes the batch one's session semantics.
         "stream_sessionize": q_stream_sessionize,
-        "sync_streams": q_sync_streams,
+        # round 8 (VERDICT r7 #6): the state-store dedup streaming class
+        # (dropDuplicatesWithinWatermark) joins the gate alongside the
+        # windowed-agg (streaming_rollup_1m) and custom-state
+        # (stream_sessionize) classes.
+        "stream_dedup": q_stream_dedup,
         "asof_join": q_asof_join,
-        "user_nation_rollup": q_user_nation_rollup,
-        "pricing_summary": q_pricing_summary,
         # Rotated OUT of the 50-slot gate (queries + oracles stay in
         # this module, strict-compared by tests/test_rotated_out_slots):
         # - round 5 (VERDICT r4 #1): haversine / unit_scale / json_props
@@ -1507,7 +1572,14 @@ def queries_ts() -> dict[str, object]:
         #   sort semantics also ride inside rotmax_scan) → slot went to
         #   doc_pii_scrub (queries_docs.py); batch sessionize → slot
         #   went to stream_sessionize above.
-        "cube_counts": q_cube_counts,
+        # - round 8 (VERDICT r7 #1/#2/#6/#7): cube_counts /
+        #   pricing_summary (judge-named SQL-trivial), user_nation_rollup
+        #   (broadcast-dim-join semantics also ride inside
+        #   first_crossing's broadcast station lookup) and sync_streams
+        #   (J1 grid alignment also gate-covered bit-exactly by
+        #   signal_synchronize) → slots went to doc_decontam /
+        #   emb_semdedup / multimodal_media_metadata (queries_docs.py)
+        #   and stream_dedup above.
         "taper_tukey": q_taper_tukey,
         "rotmax_scan": q_rotmax_scan,
     }
@@ -1527,11 +1599,8 @@ def oracles_ts() -> dict[str, str]:
         "integrate_trapezoid": SQL_INTEGRATE,
         "first_crossing": SQL_FIRST_CROSSING,
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
-        "sync_streams": SQL_SYNC_STREAMS,
+        "stream_dedup": SQL_STREAM_DEDUP,
         "asof_join": SQL_ASOF_JOIN,
-        "user_nation_rollup": SQL_USER_NATION_ROLLUP,
-        "pricing_summary": SQL_PRICING_SUMMARY,
-        "cube_counts": SQL_CUBE_COUNTS,
         "taper_tukey": SQL_TAPER_TUKEY,
         "rotmax_scan": SQL_ROTMAX_SCAN,
     }
