@@ -40,10 +40,16 @@ flags (hash-keyed sampling, min-id keep policies, no rand()), so
 re-running the identical command reproduces the identical corpus —
 the property that makes a 100-TB curation run auditable.
 
-Per-stage counts force one action per stage (the durability/audit tax,
-same posture as jobs/cascade_backfill.py's lineage recounts); pass
---no-counts to run the whole pipeline as one lazy plan and report only
-the final count.
+Resume (VERDICT r7 #4): by default every stage's survivor table is
+materialized under --output through the same write-data-THEN-commit-
+lineage protocol as jobs/cascade_backfill.py (plans/curation.py) — a
+run that dies at stage 7 of 8 re-runs with the identical command and
+skips the committed stages 1-6 (fingerprint-chained: changing any
+upstream flag, or the benchmark's content, recomputes everything
+downstream).  The per-stage materialization doubles as the audit tax:
+survivor counts + value hashes land in _stage_lineage.jsonl.  Pass
+--no-counts to run the whole pipeline as ONE lazy plan instead (no
+materialization, no resume — the cheap mode for small corpora).
 """
 
 from __future__ import annotations
@@ -107,100 +113,62 @@ def main() -> None:
             )
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = SparkSession.builder.appName("ts-curate-corpus").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    from ts_process_spark.operators import dedup, sampling, textstats
+    from ts_process_spark.operators import textstats
+    from ts_process_spark.plans.curation import (
+        CURATION_STAGE_ORDER,
+        CurationConfig,
+        apply_stage,
+        run_curation,
+    )
 
     t0 = time.time()
-    docs = spark.read.parquet(args.input)
     report: dict = {"stages": {}}
+    cfg = CurationConfig(
+        minhash_threshold=args.minhash_threshold,
+        max_dup_pct=args.max_dup_pct,
+        decontam_n=args.decontam_n,
+        weights=weights,
+        domain_col=args.domain_col,
+        salt=args.salt,
+        skip=frozenset(skip),
+    )
+    base_cols = ["doc_id", "text"] + (
+        [args.domain_col] if weights is not None else []
+    )
 
-    def count_stage(name: str, df):
-        if not args.no_counts:
-            report["stages"][name] = df.count()
-        return df
-
-    d = count_stage("input", docs.select("doc_id", "text", *(
-        [args.domain_col] if args.weights else []
-    )))
-
-    if "exact" not in skip:
-        keep = dedup.exact_dedup(d, F.col("text")).select(
-            F.col("keep_id").alias("doc_id")
+    if args.no_counts:
+        # legacy ONE-lazy-plan mode: no per-stage materialization, no
+        # counts, no resume — the cheap path for a small corpus
+        d = spark.read.parquet(args.input).select(base_cols)
+        bench = (
+            spark.read.parquet(args.benchmark).select("doc_id", "text")
+            if "decontam" not in skip
+            else None
         )
-        d = count_stage("exact", d.join(keep, "doc_id"))
-
-    if "neardup" not in skip:
-        pairs = dedup.minhash_dedup_pairs(d, args.minhash_threshold)
-        keep = dedup.dedup_keep_list(d.select("doc_id"), pairs)
-        d = count_stage(
-            "neardup",
-            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
+        for name in CURATION_STAGE_ORDER:
+            if name not in skip:
+                d = apply_stage(spark, name, d, cfg, bench)
+        d.write.mode("overwrite").parquet(f"{args.output}/curated")
+    else:
+        # resumable staged run (plans/curation.py): each stage's
+        # survivors are materialized and lineage-committed; a re-run
+        # with the identical command skips committed stages
+        res = run_curation(
+            spark, args.input, args.output, cfg,
+            benchmark_path=args.benchmark,
         )
-
-    if "quality" not in skip:
-        flagged = textstats.gopher_quality_flags(
-            textstats.with_language_id(d)
+        report["stages"].update(res["counts"])
+        report["resume_skipped"] = res["skipped"]
+        final = (
+            spark.read.parquet(args.input).select(base_cols)
+            if res["final_path"] == args.input  # every stage skipped
+            else spark.read.parquet(res["final_path"])
         )
-        d = count_stage(
-            "quality",
-            flagged.where(
-                F.col("gopher_pass") & (F.col("lang_pred") == "en")
-            ).select(d.columns),
-        )
-
-    if "lines" not in skip:
-        cols = [c for c in d.columns if c != "text"]
-        cleaned = textstats.dedup_lines(d).withColumnRenamed(
-            "text", "__clean"
-        )
-        d = count_stage(
-            "lines",
-            d.join(cleaned, "doc_id").select(
-                *cols, F.col("__clean").alias("text")
-            ),
-        )
-
-    if "span" not in skip:
-        keep = dedup.span_dedup_keep(
-            d.select("doc_id", "text"), max_dup_pct=args.max_dup_pct
-        )
-        d = count_stage(
-            "span",
-            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
-        )
-
-    if "decontam" not in skip:
-        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
-        keep = dedup.decontaminate_keep(
-            d.select("doc_id", "text"), bench, n=args.decontam_n
-        )
-        d = count_stage(
-            "decontam",
-            d.join(keep.where(F.col("keep")).select("doc_id"), "doc_id"),
-        )
-
-    if "pii" not in skip:
-        cols = [c for c in d.columns if c != "text"]
-        d = count_stage(
-            "pii",
-            textstats.with_pii_flags(d).select(
-                *cols, F.col("redacted").alias("text")
-            ),
-        )
-
-    if "mix" not in skip and weights is not None:
-        d = count_stage(
-            "mix",
-            sampling.stratified_sample(
-                d, weights, domain_col=args.domain_col, salt=args.salt
-            ),
-        )
-
-    d.write.mode("overwrite").parquet(f"{args.output}/curated")
+        final.write.mode("overwrite").parquet(f"{args.output}/curated")
     curated = spark.read.parquet(f"{args.output}/curated")
     report["stages"]["final"] = curated.count()
 
