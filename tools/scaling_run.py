@@ -220,6 +220,57 @@ def span_worker(cores: int, docs_path: str) -> None:
     spark.stop()
 
 
+def decontam_worker(cores: int, docs_path: str) -> None:
+    """Benchmark decontamination at one parallelism level (VERDICT r7
+    #9 — the broadcast+bounded-explode resource class had no entry in
+    the engine-vs-controls series): every 20th doc of the span corpus
+    plays the eval set (its boilerplate snippets occur corpus-wide, so
+    the n-gram overlap genuinely fires), the rest are the training
+    corpus; production xxhash64 mode, token 8-grams.  The benchmark
+    shingle set is broadcast — the corpus side never exchanges on gram
+    content; the only shuffle is the per-doc count.  Throughput in
+    corpus chars/s, output pinned by an xor-fold hash."""
+    from pyspark.sql import functions as F
+
+    from ts_process_spark.operators.dedup import decontaminate_stats
+    from ts_process_spark.session import get_spark
+
+    spark = get_spark(f"deco_{cores}", cores=cores, shuffle_partitions=cores)
+    docs = spark.read.parquet(docs_path)
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    n_chars = corpus.select(F.sum(F.length("text"))).first()[0]
+    docs.count()  # page-cache warm, symmetric with the other legs
+    t0 = time.time()
+    agg = (
+        decontaminate_stats(corpus, bench, n=8)
+        .select(
+            F.xxhash64(
+                "doc_id", "n_tokens", "n_ngrams", "n_contaminated",
+                "contaminated",
+            ).alias("h"),
+            F.col("contaminated").cast("long").alias("c"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("coalesce(bit_xor(h), 0)").alias("hash"),
+            F.sum("c").alias("n_contaminated_docs"),
+        )
+        .first()
+    )
+    sec = time.time() - t0
+    print(
+        "RESULT " + json.dumps(
+            {"cores": cores, "rows": agg["rows"], "chars": int(n_chars),
+             "sec": round(sec, 2),
+             "mcps": round(n_chars / sec / 1e6, 2),
+             "n_contaminated_docs": int(agg["n_contaminated_docs"]),
+             "hash": int(agg["hash"])}
+        )
+    )
+    spark.stop()
+
+
 def micro_worker(cores: int, raw_path: str) -> None:
     """Third-leg microbenchmarks isolating the two resource classes the
     engine workloads stress, so the 'job saturates the host ceiling'
@@ -315,6 +366,9 @@ def main() -> None:
     if sys.argv[1:2] == ["--span-worker"]:
         span_worker(int(sys.argv[2]), sys.argv[3])
         return
+    if sys.argv[1:2] == ["--decontam-worker"]:
+        decontam_worker(int(sys.argv[2]), sys.argv[3])
+        return
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     n_stations = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
@@ -358,6 +412,8 @@ def main() -> None:
             for c in (8, 32)}
     span = {c: run_worker(["--span-worker", str(c), docs_path])
             for c in (8, 32)}
+    deco = {c: run_worker(["--decontam-worker", str(c), docs_path])
+            for c in (8, 32)}
     micro = {c: run_worker(["--micro-worker", str(c), raw_path])
              for c in (8, 32)}
 
@@ -366,6 +422,7 @@ def main() -> None:
     eff = r32["tps"] / (4.0 * r8["tps"])
     eff_rotd = rotd[32]["sps"] / (4.0 * rotd[8]["sps"])
     eff_span = span[32]["mcps"] / (4.0 * span[8]["mcps"])
+    eff_deco = deco[32]["mcps"] / (4.0 * deco[8]["mcps"])
     eff_scan = micro[32]["scan_rps"] / (4.0 * micro[8]["scan_rps"])
     eff_shuffle = micro[32]["shuffle_kps"] / (4.0 * micro[8]["shuffle_kps"])
     identical = r8["hashes"] == r32["hashes"]
@@ -373,6 +430,10 @@ def main() -> None:
     span_identical = (
         span[8]["hash"] == span[32]["hash"]
         and span[8]["rows"] == span[32]["rows"]
+    )
+    deco_identical = (
+        deco[8]["hash"] == deco[32]["hash"]
+        and deco[8]["rows"] == deco[32]["rows"]
     )
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     # append the full record to the committed run history so variance
@@ -384,13 +445,16 @@ def main() -> None:
                              for k, d in pre.items()},
             "post_ceilings": {k: {str(c): v for c, v in d.items()}
                               for k, d in post.items()},
-            "cascade": casc, "rotd50": rotd, "span": span, "micro": micro,
+            "cascade": casc, "rotd50": rotd, "span": span,
+            "decontam": deco, "micro": micro,
             "cascade_eff": round(eff, 3), "rotd50_eff": round(eff_rotd, 3),
             "span_eff": round(eff_span, 3),
+            "decontam_eff": round(eff_deco, 3),
             "scan_eff": round(eff_scan, 3),
             "shuffle_eff": round(eff_shuffle, 3),
             "identical": identical, "rotd50_identical": rotd_identical,
             "span_identical": span_identical,
+            "decontam_identical": deco_identical,
         }, default=str) + "\n")
     # the auto-report replaces only the header portion of BASELINE.md;
     # everything from the sentinel line onward is manually curated
@@ -504,6 +568,31 @@ boilerplate snippets and every 5th doc a hot snippet-0 copy:
   {"PASS" if span_identical else "FAIL"}** (xor-fold xxhash64 over every
   per-doc stats row).
 
+## Workload 2c — benchmark decontamination (broadcast + bounded explode)
+
+`decontaminate_stats` (production xxhash64 mode, token 8-grams): every
+20th doc of the same corpus plays the eval set — its shingle-hash set
+is BROADCAST, so the {deco[8]['chars']:,}-char corpus side explodes to
+grams and probes map-side without ever exchanging on gram content; the
+only shuffle is the per-doc count.  {deco[8]['n_contaminated_docs']:,}
+corpus docs genuinely flag (the boilerplate snippets occur on both
+sides), so the overlap path is exercised, not vacuous:
+
+| parallelism | wall (s) | Mchars/sec |
+|---|---|---|
+| local[8]  (N)  | {deco[8]['sec']} | {deco[8]['mcps']} |
+| local[32] (4N) | {deco[32]['sec']} | {deco[32]['mcps']} |
+
+- raw scaling efficiency = **{eff_deco:.3f}**; speedup
+  {deco[32]['mcps']/deco[8]['mcps']:.2f}× vs this window's memory
+  ceiling {membw_ratio:.2f}× → **{(deco[32]['mcps']/deco[8]['mcps'])/membw_ratio:.0%}
+  of achievable memory-bound scaling** (explode + hash-probe +
+  count-agg — the same resource class as span dedup, with the
+  broadcast replacing the content exchange).
+- **Output hash-equality across parallelism levels:
+  {"PASS" if deco_identical else "FAIL"}** (xor-fold xxhash64 over every
+  per-doc stats row).
+
 ## Workload 3 — in-Spark microbench controls (the third leg)
 
 Pure parquet scan (xxhash64 of every column + count) and pure shuffle
@@ -537,8 +626,9 @@ in BENCH/history.jsonl.
         f.write(notes)
     print(
         f"cascade_eff={eff:.3f} rotd50_eff={eff_rotd:.3f} "
-        f"span_eff={eff_span:.3f} identical={identical} "
-        f"span_identical={span_identical} → {out_md}"
+        f"span_eff={eff_span:.3f} decontam_eff={eff_deco:.3f} "
+        f"identical={identical} span_identical={span_identical} "
+        f"decontam_identical={deco_identical} → {out_md}"
     )
 
 
