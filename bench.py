@@ -247,6 +247,15 @@ def main() -> None:
                 docs, ["the", "data", "model", "training"]
             ),
         )
+        # centroid classifier: train once (even docs, lang label) like
+        # a production classifier would, then time the scoring pass
+        clf = textstats.train_centroid_classifier(
+            docs.where("doc_id % 2 = 0"), "lang"
+        )
+        _bench_query(
+            "doc_centroid_classify_prod",
+            lambda: textstats.centroid_classify(docs, clf),
+        )
         _bench_query(
             "doc_tfidf_top5",
             lambda: textstats.tfidf_top_terms(docs, top_k=5),

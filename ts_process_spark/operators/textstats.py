@@ -598,3 +598,208 @@ def dedup_lines(
         )
         .select(F.col("id").alias(id_col), text_col)
     )
+
+
+# ------------------------------------------- centroid text classifier
+
+
+def hashed_count_features(
+    df: DataFrame,
+    n_features: int,
+    id_cols: list[str],
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick token-count features: one row per (*id_cols,
+    feature) with its int64 count.  feature = hash(token) mod
+    n_features — the standard hashing trick (Weinberger et al. 2009),
+    which caps model/state size at n_features regardless of corpus
+    vocabulary.  hash_mode 'md5' uses dedup.hash60 (bit-identical in
+    DuckDB, the oracle mode); 'xxhash64' is the cheap production mode.
+
+    Plan: explode is per-doc bounded; the groupBy's partial aggregation
+    collapses each document's repeated tokens map-side (a document's
+    tokens all live in its own input row), so the exchange carries one
+    row per distinct (id, feature), never one per token."""
+    from ts_process_spark.operators.dedup import hash60
+
+    if hash_mode == "md5":
+        feat = hash60(F.col("_w")) % n_features
+    elif hash_mode == "xxhash64":
+        feat = F.pmod(F.xxhash64(F.col("_w")), F.lit(n_features))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return (
+        df.select(*id_cols, F.explode(tokens(F.col(text_col))).alias("_w"))
+        .select(*id_cols, feat.alias("feature"))
+        .groupBy(*id_cols, "feature")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+
+
+def train_centroid_classifier(
+    train_docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_features: int = 2**18,
+    hash_mode: str = "xxhash64",
+) -> dict:
+    """Train a centroid (Rocchio) text classifier (Han & Karypis 2000)
+    over hashing-trick token-count vectors — the lightweight
+    quality/language classification stage of a curation pipeline (the
+    role fasttext-style linear classifiers play in CCNet-descended
+    stacks), re-derived for an exactness gate: every score the
+    classifier emits is ``int/(sqrt(int)*sqrt(int))`` in IEEE doubles,
+    so Spark and DuckDB produce BIT-IDENTICAL cosines (division, sqrt,
+    multiplication are correctly rounded; the integers are exact).  A
+    multinomial-NB variant would need ln(), which carries no
+    cross-engine rounding guarantee — that is why the gate surface is
+    the centroid form.
+
+    Each class centroid is the UNNORMALIZED elementwise sum of its
+    training documents' count vectors (cosine is scale-invariant, and
+    keeping the sum in int64 is what makes the oracle exact).
+
+    Scale posture: train is ONE word-count-shaped pass — explode,
+    map-side combine, exchange bounded by n_labels x n_features rows
+    (the hashing trick caps it; corpus vocabulary never matters);
+    the model pivots to <= n_features rows and is broadcast at score
+    time (~n_features*(8+8L) bytes).  The only driver-side collects are
+    the label list and the L per-class norms — same bounded-codebook
+    posture as the ANN stack.  Counts are int64 under ANSI mode, which
+    bounds the TRAIN split at ~3e9 tokens per class (sum of squared
+    centroid entries must stay under 2^63; Spark throws loudly, never
+    wraps) — the way these classifiers are used anyway: fit on a
+    bounded labeled sample, score the full 100-TB corpus.
+
+    Returns {"labels": [str...], "model": DataFrame(feature, cnts:
+    array<long> ordered by labels), "norms": [int...] (sum of squared
+    centroid entries per label), "n_features": int, "hash_mode": str}.
+    """
+    labels = [
+        r[0]
+        for r in train_docs.select(label_col)
+        .where(F.col(label_col).isNotNull())
+        .distinct()
+        .orderBy(label_col)
+        .collect()
+    ]
+    if not labels:
+        raise ValueError(f"no non-null labels in {label_col!r}")
+    cf = hashed_count_features(
+        train_docs.where(F.col(label_col).isNotNull()),
+        n_features,
+        [label_col],
+        text_col,
+        hash_mode,
+    )
+    model = cf.groupBy("feature").agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col(label_col) == lab, F.col("x"))),
+                    F.lit(0).cast("long"),
+                )
+                for lab in labels
+            ]
+        ).alias("cnts")
+    )
+    norm_row = model.agg(
+        *[
+            F.sum(F.col("cnts")[i] * F.col("cnts")[i]).alias(f"n{i}")
+            for i in range(len(labels))
+        ]
+    ).first()
+    norms = [int(norm_row[i]) for i in range(len(labels))]
+    if any(n == 0 for n in norms):
+        empty = [lab for lab, n in zip(labels, norms) if n == 0]
+        raise ValueError(f"labels with empty centroids: {empty}")
+    return {
+        "labels": labels,
+        "model": model,
+        "norms": norms,
+        "n_features": n_features,
+        "hash_mode": hash_mode,
+    }
+
+
+def centroid_classify(
+    docs: DataFrame,
+    clf: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained centroid classifier: per-doc
+    cosine to EVERY class centroid, argmax with label-ASC tie-break.
+
+    Output: (id_col, n_tokens int64, pred_label string, max_cos
+    double).  Zero-token documents get NULL pred_label/max_cos (cosine
+    is undefined at zero norm) — every input row appears exactly once.
+
+    Plan: doc count-vectors via hashed_count_features (exchange keyed
+    by (id, feature) — O(doc x distinct-tokens) rows, the same bounded
+    class as tf-idf); the model attach is an explicit BROADCAST hash
+    join (<= n_features rows by construction — unconditionally
+    broadcastable, unlike data-sized dimension tables); one final
+    exchange on id for the dot products and the doc norm.  The cosine
+    arithmetic is int-exact until a single cast-divide-sqrt expression
+    whose operand order matches the DuckDB oracle token-for-token."""
+    labels, norms = clf["labels"], clf["norms"]
+    x = hashed_count_features(
+        docs, clf["n_features"], [id_col], text_col, clf["hash_mode"]
+    )
+    joined = x.join(F.broadcast(clf["model"]), "feature", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.sum("x").alias("n_tokens"),
+        F.sum(F.col("x") * F.col("x")).alias("_d2"),
+        *[
+            F.coalesce(
+                F.sum(F.col("x") * F.col("cnts")[i]), F.lit(0).cast("long")
+            ).alias(f"_dot{i}")
+            for i in range(len(labels))
+        ],
+    )
+    cos = [
+        (
+            F.col(f"_dot{i}").cast("double")
+            / (
+                F.sqrt(F.col("_d2").cast("double"))
+                * F.sqrt(F.lit(norms[i]).cast("double"))
+            )
+        ).alias(f"_cos{i}")
+        for i in range(len(labels))
+    ]
+    scored = per_doc.select(id_col, "n_tokens", *cos)
+    # argmax via struct max: (cos, -idx) — highest cosine, then LOWEST
+    # label index (labels are sorted ASC at train time), so ties are
+    # deterministic and engine-independent (cosines are bit-exact)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_cos{i}").alias("c"),
+                    F.lit(-i).alias("ni"),
+                )
+                for i in range(len(labels))
+            ]
+        )
+    )
+    lab_arr = F.array(*[F.lit(lab) for lab in labels])
+    scored = scored.withColumn("_b", best).select(
+        id_col,
+        "n_tokens",
+        F.element_at(lab_arr, -F.col("_b.ni") + 1).alias("pred_label"),
+        F.col("_b.c").alias("max_cos"),
+    )
+    # reattach zero-token docs (they vanish at the explode): NULL
+    # prediction, n_tokens 0 — every input row surfaces exactly once
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "pred_label",
+            "max_cos",
+        )
+    )
