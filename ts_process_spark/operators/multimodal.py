@@ -207,6 +207,8 @@ def sniff_container(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:4] == b"fLaC":
         return "flac"
     if _is_mp3(payload):
@@ -959,6 +961,17 @@ def decoded_stats(media: DataFrame) -> DataFrame:
                     elif kind == "audio":
                         _rate, pcm = decode_audio(b)
                         vals = pcm.ravel().astype(np.int64)
+                    elif kind == "video":
+                        from ts_process_spark.functions.avi import (
+                            iter_avi_frames,
+                        )
+
+                        frames = [fr for _i, fr in iter_avi_frames(b)]
+                        if not frames:
+                            raise ValueError("zero decodable frames")
+                        vals = np.concatenate(
+                            [fr.ravel() for fr in frames]
+                        ).astype(np.int64)
                     else:
                         raise NotImplementedError(kind)
                     if vals.size == 0:
@@ -1037,3 +1050,127 @@ def extract_decoded_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+# ------------------------------------------------------ video (AVI)
+
+
+VIDEO_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("container", T.StringType(), False),
+        T.StructField("meta_ok", T.BooleanType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("fps_num", T.LongType(), True),
+        T.StructField("fps_den", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("err", T.StringType(), True),
+    ]
+)
+
+
+def extract_video_metadata(media: DataFrame) -> DataFrame:
+    """Video-container triage — the video sibling of
+    extract_media_metadata's audio walk: one mapInPandas scan over AVI
+    headers (functions/avi.py), emitting EXACT integer metadata
+    (geometry, fps as the header's own dwRate/dwScale rational, frame
+    count, duration_us = n_frames·us_per_frame) so a SQL oracle over
+    generation parameters value-checks the walk.  Truncated/malformed
+    payloads and non-video containers cost one ``meta_ok=false`` row
+    each, never a task retry — the r7 WAV truncation posture."""
+    from ts_process_spark.functions.avi import parse_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                cont = sniff_container(b)
+                mid = int(mid)
+                if cont != "avi":
+                    rows.append(
+                        (mid, kind, cont, False, None, None, None, None,
+                         None, None, None,
+                         f"no video metadata for container {cont!r}")
+                    )
+                    continue
+                try:
+                    m = parse_avi(b)
+                    rows.append(
+                        (mid, kind, cont, True, m["width"], m["height"],
+                         m["fps_num"], m["fps_den"], m["n_frames"],
+                         m["duration_us"], m.get("codec"), None)
+                    )
+                except (NotImplementedError, ValueError, IndexError,
+                        KeyError, struct.error) as e:
+                    rows.append(
+                        (mid, kind, cont, False, None, None, None, None,
+                         None, None, None, f"{type(e).__name__}: {e}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in VIDEO_METADATA_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_METADATA_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+        T.StructField("px_sumsq", T.LongType(), False),
+        T.StructField("px_min", T.LongType(), False),
+        T.StructField("px_max", T.LongType(), False),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
+    """Frame sampling — the multimodal op a video training pipeline
+    runs to pick frames for captioning/embedding: decode every k-th
+    frame of each AVI payload through the native DIB codec and emit
+    integer-exact per-frame functionals (sum / sum-of-squares / min /
+    max over RGB bytes — the decoded_stats technique per frame), so
+    the whole decode→sample path is value-checkable from the fixture's
+    generation parameters.  One mapInPandas scan, no shuffle; rows
+    fan out per SAMPLED frame (bounded by n_frames/k per payload).
+    Undecodable payloads contribute zero rows here — triage belongs to
+    extract_video_metadata, sampling consumes its survivors."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    from ts_process_spark.functions.avi import iter_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                mid = int(mid)
+                try:
+                    for idx, fr in iter_avi_frames(b):
+                        if idx % every_k:
+                            continue
+                        v = fr.ravel().astype(np.int64)
+                        rows.append(
+                            (mid, idx, fr.shape[1], fr.shape[0],
+                             int(v.sum()), int((v * v).sum()),
+                             int(v.min()), int(v.max()))
+                        )
+                except (NotImplementedError, ValueError, IndexError,
+                        KeyError, struct.error):
+                    pass
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
