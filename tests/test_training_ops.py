@@ -2590,3 +2590,114 @@ def test_centroid_classifier_rejects_bad_input(spark):
         textstats.train_centroid_classifier(docs2, "lab", n_features=64)
     with pytest.raises(ValueError, match="hash_mode"):
         textstats.hashed_count_features(docs2, 64, ["doc_id"], "text", "crc")
+
+
+# ------------------------------------------------------- image resize
+
+
+def test_resize_kernels_exact():
+    """Kernel contracts: nearest uses the floor index map (checked
+    against a literal replica), box is sum//k^2 per k x k block, and
+    both are pure integer — byte-identical on repeat."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (9, 12, 3), dtype=np.uint8)
+    out = multimodal.resize_nearest(img, 4, 5)
+    assert out.shape == (4, 5, 3)
+    for r in range(4):
+        for c in range(5):
+            assert (out[r, c] == img[r * 9 // 4, c * 12 // 5]).all()
+    box = multimodal.resize_box(img, 3)
+    assert box.shape == (3, 4, 3)
+    blk = img[:3, :3].astype(int)
+    assert (box[0, 0] == blk.sum(axis=(0, 1)) // 9).all()
+    with pytest.raises(ValueError, match="multiple"):
+        multimodal.resize_box(img, 5)
+    with pytest.raises(ValueError, match="invalid target"):
+        multimodal.resize_nearest(img, 0, 5)
+
+
+def _resize_fixture(spark, n=40, w=12, h=9):
+    """BMP payloads whose pixel (r, c, ch) = (mid*7 + r*11 + c*13 +
+    ch*5) % 256 — SQL-replicable through any exact-integer resize."""
+    import numpy as np
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                r, c, ch = np.ogrid[:h, :w, :3]
+                img = ((mid * 7 + r * 11 + c * 13 + ch * 5) % 256).astype(
+                    np.uint8
+                )
+                b = multimodal.encode_bmp(img)
+                rows.append(
+                    (mid, "image", b,
+                     {"width": w, "height": h, "sample_rate": None,
+                      "n_bytes": len(b)})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("media_id"))
+        .where(F.col("media_id") < n)
+        .mapInPandas(gen, schema=multimodal.MEDIA_SCHEMA)
+    )
+
+
+def test_resize_images_matches_duckdb(spark):
+    """Full decode->resize->encode path value-checked: decoded_stats
+    over the RESIZED table vs a DuckDB oracle that recomputes every
+    output pixel from the generation parameters and the documented
+    floor index map (nearest) / sum//k^2 (box).  A one-pixel index
+    convention drift on either side breaks the compare."""
+    import duckdb
+
+    media = _resize_fixture(spark)
+    got_n = sorted(
+        (r["media_id"], r["n_vals"], r["v_sum"], r["v_sumsq"])
+        for r in multimodal.decoded_stats(
+            multimodal.resize_images(media, out_w=5, out_h=4)
+        ).collect()
+    )
+    got_b = sorted(
+        (r["media_id"], r["n_vals"], r["v_sum"], r["v_sumsq"])
+        for r in multimodal.decoded_stats(
+            multimodal.resize_images(media, factor=3)
+        ).collect()
+    )
+    con = duckdb.connect()
+    want_n = sorted(map(tuple, con.execute("""
+WITH px AS (
+  SELECT m AS media_id,
+         (m*7 + (r*9//4)*11 + (c*12//5)*13 + ch*5) % 256 AS v
+  FROM range(0, 40) t(m), range(0, 4) tr(r), range(0, 5) tc(c),
+       range(0, 3) tch(ch)
+)
+SELECT media_id, count(*) AS n_vals, sum(v)::BIGINT AS v_sum,
+       sum(v*v)::BIGINT AS v_sumsq
+FROM px GROUP BY 1 ORDER BY 1
+    """).fetchall()))
+    want_b = sorted(map(tuple, con.execute("""
+WITH blk AS (
+  SELECT m, r, c, ch,
+         sum((m*7 + (r*3+dr)*11 + (c*3+dc)*13 + ch*5) % 256) // 9 AS v
+  FROM range(0, 40) t(m), range(0, 3) tr(r), range(0, 4) tc(c),
+       range(0, 3) tch(ch), range(0, 3) tdr(dr), range(0, 3) tdc(dc)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT m AS media_id, count(*) AS n_vals, sum(v)::BIGINT AS v_sum,
+       sum(v*v)::BIGINT AS v_sumsq
+FROM blk GROUP BY 1 ORDER BY 1
+    """).fetchall()))
+    assert got_n == want_n and len(got_n) == 40
+    assert got_b == want_b
+    with pytest.raises(ValueError, match="exactly one"):
+        multimodal.resize_images(media, out_w=5)
+    with pytest.raises(ValueError, match="exactly one"):
+        multimodal.resize_images(media, out_w=5, out_h=4, factor=2)

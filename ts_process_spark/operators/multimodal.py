@@ -1174,3 +1174,84 @@ def sample_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+# ------------------------------------------------------- image resize
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-index resize with the floor mapping
+    ``src = out_idx * src_dim // out_dim`` — pure integer index math,
+    so the resized pixel set is an EXACT function of the source (no
+    float sample positions, no rounding convention to disagree on)."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"invalid target {out_w}x{out_h}")
+    h, w = img.shape[:2]
+    rows = np.arange(out_h, dtype=np.int64) * h // out_h
+    cols = np.arange(out_w, dtype=np.int64) * w // out_w
+    return img[rows][:, cols]
+
+
+def resize_box(img: np.ndarray, k: int) -> np.ndarray:
+    """Integer-factor box downsample: each output pixel is the
+    floor-mean (``sum // k²``) of its k×k source block per channel —
+    exact integer antialiasing for the common fixed-factor case.
+    Source dimensions must be multiples of k (a training pipeline pads
+    or crops first; silent edge fudging would break exactness)."""
+    h, w = img.shape[:2]
+    if k < 1:
+        raise ValueError(f"invalid factor {k}")
+    if h % k or w % k:
+        raise ValueError(f"geometry {w}x{h} not a multiple of factor {k}")
+    a = img.reshape(h // k, k, w // k, k, -1).astype(np.int64)
+    return (a.sum(axis=(1, 3)) // (k * k)).astype(np.uint8)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int | None = None,
+    out_h: int | None = None,
+    factor: int | None = None,
+) -> DataFrame:
+    """Image resize — the corpus-normalization op a multimodal training
+    pipeline runs before embedding (fixed input resolution): decode any
+    supported image container, resize with an EXACT integer kernel
+    (nearest-index when (out_w, out_h) is given, k×k box floor-mean
+    when ``factor`` is), re-encode as 24-bit BMP, and emit MEDIA_SCHEMA
+    rows.  One mapInPandas scan, no shuffle; the whole
+    decode→resize→encode path stays integer-exact, so decoded_stats
+    over the OUTPUT table is value-checkable from the fixture's pixel
+    generation parameters.  Undecodable / non-image payloads contribute
+    zero rows (triage belongs to the metadata walks; resize consumes
+    their survivors, same contract as sample_video_frames)."""
+    if (factor is None) == (out_w is None or out_h is None):
+        raise ValueError("pass exactly one of (out_w, out_h) or factor")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    img = as_rgb(decode_image(b))
+                    out = (
+                        resize_box(img, factor)
+                        if factor is not None
+                        else resize_nearest(img, out_h, out_w)
+                    )
+                    enc = encode_bmp(out)
+                    rows.append(
+                        (int(mid), kind, enc,
+                         {"width": out.shape[1], "height": out.shape[0],
+                          "sample_rate": None, "n_bytes": len(enc)})
+                    )
+                except (NotImplementedError, ValueError, IndexError,
+                        KeyError, struct.error, zlib.error):
+                    pass
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "meta"]
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
