@@ -2701,3 +2701,71 @@ FROM blk GROUP BY 1 ORDER BY 1
         multimodal.resize_images(media, out_w=5)
     with pytest.raises(ValueError, match="exactly one"):
         multimodal.resize_images(media, out_w=5, out_h=4, factor=2)
+
+
+def test_resize_bilinear_exact():
+    """Rational-bilinear contract: literal integer replica of the
+    align-corners formula, degenerate out-dim-1 limit, and the exact
+    identity resize (out == src reproduces the source bit-for-bit —
+    a float-weights implementation typically fails this)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (9, 12, 3), dtype=np.uint8)
+    out = multimodal.resize_bilinear(img, 4, 5)
+    assert out.shape == (4, 5, 3)
+    dr, dc = 3, 4
+    for r in range(4):
+        for c in range(5):
+            fr, ar = divmod(r * 8, dr)
+            fc, ac = divmod(c * 11, dc)
+            r1, c1 = min(fr + 1, 8), min(fc + 1, 11)
+            for ch in range(3):
+                v = (
+                    int(img[fr, fc, ch]) * (dr - ar) * (dc - ac)
+                    + int(img[fr, c1, ch]) * (dr - ar) * ac
+                    + int(img[r1, fc, ch]) * ar * (dc - ac)
+                    + int(img[r1, c1, ch]) * ar * ac
+                ) // (dr * dc)
+                assert out[r, c, ch] == v, (r, c, ch)
+    assert np.array_equal(multimodal.resize_bilinear(img, 9, 12), img)
+    assert np.array_equal(
+        multimodal.resize_bilinear(img, 1, 1)[0, 0], img[0, 0]
+    )
+
+
+def test_resize_images_bilinear_matches_duckdb(spark):
+    """Full decode->bilinear-resize->encode path vs a DuckDB oracle
+    computing the same rational formula from generation parameters."""
+    import duckdb
+
+    media = _resize_fixture(spark)
+    got = sorted(
+        (r["media_id"], r["n_vals"], r["v_sum"], r["v_sumsq"])
+        for r in multimodal.decoded_stats(
+            multimodal.resize_images(media, out_w=5, out_h=4,
+                                     method="bilinear")
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute("""
+WITH px AS (
+  SELECT m,
+         ((m*7 + (r*8//3)*11     + (c*11//4)*13     + ch*5) % 256)
+           * (3 - r*8%3) * (4 - c*11%4)
+         + ((m*7 + (r*8//3)*11   + least(c*11//4+1, 11)*13 + ch*5) % 256)
+           * (3 - r*8%3) * (c*11%4)
+         + ((m*7 + least(r*8//3+1, 8)*11 + (c*11//4)*13    + ch*5) % 256)
+           * (r*8%3) * (4 - c*11%4)
+         + ((m*7 + least(r*8//3+1, 8)*11 + least(c*11//4+1, 11)*13 + ch*5) % 256)
+           * (r*8%3) * (c*11%4) AS num
+  FROM range(0, 40) t(m), range(0, 4) tr(r), range(0, 5) tc(c),
+       range(0, 3) tch(ch)
+), v AS (SELECT m, num // 12 AS v FROM px)
+SELECT m AS media_id, count(*) AS n_vals, sum(v)::BIGINT AS v_sum,
+       sum(v*v)::BIGINT AS v_sumsq
+FROM v GROUP BY 1 ORDER BY 1
+    """).fetchall()))
+    assert got == want and len(got) == 40
+    with pytest.raises(ValueError, match="unknown method"):
+        multimodal.resize_images(media, out_w=5, out_h=4, method="area")

@@ -1192,6 +1192,47 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[rows][:, cols]
 
 
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize in EXACT rational arithmetic (align-corners
+    convention): source position for output index i is the rational
+    ``i·(src-1)/(out-1)``, so with Dr = out_h-1, Dc = out_w-1 the
+    interpolated value is the INTEGER
+
+        floor((v00·(Dr-ar)·(Dc-ac) + v01·(Dr-ar)·ac
+             + v10·ar·(Dc-ac)      + v11·ar·ac) / (Dr·Dc))
+
+    — no float weights anywhere, so the result is bit-reproducible and
+    SQL-twinnable like the other two kernels.  out dim 1 degenerates to
+    the first row/column (the convention's own limit)."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"invalid target {out_w}x{out_h}")
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = img[:, :, None]
+
+    def axis(src: int, out: int) -> tuple[np.ndarray, np.ndarray, int]:
+        if out == 1 or src == 1:
+            return (np.zeros(out, np.int64), np.zeros(out, np.int64), 1)
+        num = np.arange(out, dtype=np.int64) * (src - 1)
+        d = out - 1
+        return num // d, num % d, d
+
+    r0, ar, dr = axis(h, out_h)
+    c0, ac, dc = axis(w, out_w)
+    r1 = np.minimum(r0 + 1, h - 1)
+    c1 = np.minimum(c0 + 1, w - 1)
+    v = img.astype(np.int64)
+    ar_ = ar[:, None, None]
+    ac_ = ac[None, :, None]
+    num = (
+        v[r0][:, c0] * (dr - ar_) * (dc - ac_)
+        + v[r0][:, c1] * (dr - ar_) * ac_
+        + v[r1][:, c0] * ar_ * (dc - ac_)
+        + v[r1][:, c1] * ar_ * ac_
+    )
+    return (num // (dr * dc)).astype(np.uint8)
+
+
 def resize_box(img: np.ndarray, k: int) -> np.ndarray:
     """Integer-factor box downsample: each output pixel is the
     floor-mean (``sum // k²``) of its k×k source block per channel —
@@ -1212,12 +1253,14 @@ def resize_images(
     out_w: int | None = None,
     out_h: int | None = None,
     factor: int | None = None,
+    method: str = "nearest",
 ) -> DataFrame:
     """Image resize — the corpus-normalization op a multimodal training
     pipeline runs before embedding (fixed input resolution): decode any
     supported image container, resize with an EXACT integer kernel
-    (nearest-index when (out_w, out_h) is given, k×k box floor-mean
-    when ``factor`` is), re-encode as 24-bit BMP, and emit MEDIA_SCHEMA
+    (``method`` picks nearest-index or rational-bilinear when
+    (out_w, out_h) is given; k×k box floor-mean when ``factor``
+    is), re-encode as 24-bit BMP, and emit MEDIA_SCHEMA
     rows.  One mapInPandas scan, no shuffle; the whole
     decode→resize→encode path stays integer-exact, so decoded_stats
     over the OUTPUT table is value-checkable from the fixture's pixel
@@ -1226,6 +1269,9 @@ def resize_images(
     their survivors, same contract as sample_video_frames)."""
     if (factor is None) == (out_w is None or out_h is None):
         raise ValueError("pass exactly one of (out_w, out_h) or factor")
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown method {method!r}")
+    kern = resize_bilinear if method == "bilinear" else resize_nearest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1239,7 +1285,7 @@ def resize_images(
                     out = (
                         resize_box(img, factor)
                         if factor is not None
-                        else resize_nearest(img, out_h, out_w)
+                        else kern(img, out_h, out_w)
                     )
                     enc = encode_bmp(out)
                     rows.append(
