@@ -31,8 +31,25 @@ def quantized(col: Column) -> Column:
     ≤ 2^53 — i.e. component magnitudes ≲ 11 for 64-dim vectors
     (|x|·1e6 squared ×64 < 9e15).  Normalized/near-normalized embeddings
     (the fixture and any cosine use case) sit orders of magnitude below
-    the bound; Spark's int64 fold itself is exact far beyond it."""
-    return F.transform(col, lambda x: F.round(x.cast("double") * 1000000).cast("long"))
+    the bound; Spark's int64 fold itself is exact far beyond it.
+
+    r9: for the engine-wide EMB_DIM width the per-element transform —
+    a CodegenFallback HOF interpreted per element, ~1.3M lambda evals
+    per 20k-vector pass — unrolls into a codegen array constructor of
+    the IDENTICAL per-element expression (same round, same casts, so
+    the same longs).  Other widths take the HOF form via the size
+    guard.  ``col`` is always a scan/join attribute at the call sites,
+    so the 64 references are cheap."""
+    per_el = lambda x: F.round(x.cast("double") * 1000000).cast("long")  # noqa: E731
+    fast = F.array(*[per_el(F.element_at(col, i)) for i in range(1, EMB_DIM + 1)])
+    return F.when(F.size(col) == EMB_DIM, fast).otherwise(
+        F.transform(col, per_el)
+    )
+
+
+EMB_DIM = 64  # engine-wide embedding dimensionality: the SRP planes are
+# seeded at 64 and quantized()'s DuckDB domain bound assumes it — the
+# unrolled dot below keys its codegen fast path on this width
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -41,10 +58,60 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Pairwise (tournament) addition — O(log n) expression depth so the
+    64-term unrolled dot stays well inside codegen limits.  Integer
+    addition is associative, so the result is bit-identical to the
+    left-fold the HOF form computes."""
+    while len(terms) > 1:
+        nxt = [a + b for a, b in zip(terms[0::2], terms[1::2])]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product — general (HOF) form.  References each
+    operand expression ONCE, so it is safe for operands that are
+    themselves expensive expressions (``quantized(...)``) even when the
+    optimizer collapses the projection into the scan."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
     )
+
+
+def dot_long_fast(a: Column, b: Column) -> Column:
+    """Exact int64 dot product — per-PAIR hot-path form (r9, guide
+    §4.1).  The ``zip_with``+``aggregate`` HOF pair is CodegenFallback:
+    interpreted per element with a boxed intermediate array per call,
+    and it sits inside every per-pair scoring loop (SemDeDup's
+    within-cell O(n²/cells) stage, kNN/SRP/IVF candidate scoring).
+    For the engine-wide EMB_DIM width this unrolls into a whole-stage-
+    codegen balanced sum of ``element_at`` products (primitive long
+    arithmetic, no allocation); any other width falls back to the HOF
+    form via a runtime size guard — which also keeps ANSI-mode
+    element_at in bounds — so the value is identical for every input
+    (integer addition is associative): every oracle-checked cosine is
+    bit-for-bit unchanged.
+
+    CALLER CONTRACT: operands must be materialized attributes (join /
+    exchange / aggregate outputs), never in-projection expressions —
+    the unrolled form references ``a``/``b`` once per element, and
+    Spark's scan-adjacent project collapsing would re-evaluate an
+    inline ``quantized(...)`` operand per element (measured: 133 copies
+    of the transform in cosine_base's plan, a 30× regression).  Every
+    cosine_qn call site scores pairs AFTER a join, where both sides are
+    attributes, which is why cosine_qn uses this form."""
+    hof = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+    fast = _balanced_sum(
+        [F.element_at(a, i) * F.element_at(b, i) for i in range(1, EMB_DIM + 1)]
+    )
+    return F.when(
+        (F.size(a) == EMB_DIM) & (F.size(b) == EMB_DIM), fast
+    ).otherwise(hof)
 
 
 def cosine_q(a: Column, b: Column) -> Column:
@@ -59,8 +126,11 @@ def cosine_qn(a: Column, b: Column, na: Column, nb: Column) -> Column:
     """cosine_q with PRECOMPUTED squared norms: at scale the self-dot is
     O(pairs·dim) recomputed per candidate pair, vs O(vectors·dim) done
     once in cosine_base — same doubles bit-for-bit (the norm column is
-    the identical dot_long the inline form evaluated)."""
-    return dot_long(a, b) / (
+    the identical int64 dot the inline form evaluated).  Uses the
+    unrolled codegen dot: every call site scores pairs after a join,
+    where ``a``/``b`` are materialized attributes (dot_long_fast's
+    caller contract)."""
+    return dot_long_fast(a, b) / (
         F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
     )
 
@@ -79,9 +149,17 @@ def cosine_base(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     on one task (dedup._ensure_parallelism, same rationale)."""
     from ts_process_spark.operators.dedup import _ensure_parallelism
 
+    # nq via a single-reference fold: the optimizer collapses scan-
+    # adjacent projects by INLINING aliases, so a form referencing ``q``
+    # k times would re-evaluate the quantization k times per row; the
+    # fold references it once (and the exact int64 sum of squares is
+    # the same value dot_long computed)
+    ssq = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda s, v: s + v * v
+    )
     base = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
-    ).withColumn("nq", dot_long(F.col("q"), F.col("q")))
+    ).withColumn("nq", ssq)
     return base.where(F.col("nq") > 0)
 
 
@@ -265,10 +343,13 @@ def srp_bucket_assignments(
     seed: int = 42,
 ) -> DataFrame:
     planes = rademacher_hyperplanes(n_planes, 64, seed)
+    # project the quantized vector ONCE, then bucket over the attribute:
+    # inlining quantized(...) into srp_bucket would re-evaluate the
+    # transform per plane per element under the unrolled dot (see
+    # dot_long's caller contract)
     return df.select(
-        F.col(id_col).alias("id"),
-        srp_bucket(quantized(F.col(vec_col)), planes).alias("bucket"),
-    )
+        F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("q")
+    ).select("id", srp_bucket(F.col("q"), planes).alias("bucket"))
 
 
 def srp_ann_topk(
@@ -548,15 +629,20 @@ def _probe_cells_np(
 
 
 def _pq_adist(m: int) -> Column:
-    """Σ_j lut[j][codes[j]] — the ADC distance (over lut/codes cols)."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, j: acc
-        + F.element_at(
-            F.element_at(F.col("lut"), (j + 1).cast("int")),
-            (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-        ),
+    """Σ_j lut[j][codes[j]] — the ADC distance (over lut/codes cols).
+    Unrolled over the m static subspaces (r9): the HOF fold was
+    interpreted per pair; ``lut``/``codes`` are post-join attributes and
+    every index is in bounds by construction (codes ∈ [0, n_codes) from
+    the encoder argmin), so the sum is pure codegen lookups — the same
+    exact int64 terms in the same count, bit-identical."""
+    return _balanced_sum(
+        [
+            F.element_at(
+                F.element_at(F.col("lut"), j + 1),
+                (F.element_at(F.col("codes"), j + 1) + 1).cast("int"),
+            )
+            for j in range(m)
+        ]
     )
 
 
@@ -1120,6 +1206,62 @@ def ivfpq_attach_arrow(
 # --------------------------------------------------- semantic dedup
 
 
+def _semdedup_pairs_np(
+    Q: "np.ndarray", threshold: float
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Within-cell lower-id pairwise reduction, vectorized — the exact
+    NumPy replay of the JVM pair plan's arithmetic for rows sorted by
+    ascending id.  Returns (n_dup int64, qa_max int64 micro-units with
+    -1 = no lower-id mate).
+
+    Bit-parity, piece by piece (the ivfpq_attach_arrow discipline):
+    - dot / norms: exact int64 values computed through float64 — every
+      partial sum is bounded by 64·(1.19e7)² < 2^53 (the quantized()
+      domain bound, asserted loudly below), so BLAS order never matters;
+    - cosine: dot / (sqrt(na)·sqrt(nb)) — identical correctly-rounded
+      IEEE ops on identical inputs ⇒ bit-identical doubles to the JVM;
+    - round(·, 6): floor(y+0.5) on cos·1e6 equals Java BigDecimal
+      HALF_UP except within float error of a .5 grid boundary; boundary
+      entries (|y − round(y)| < 1e-6) replay through _round6's exact
+      Decimal path (the _probe_cells_np convention);
+    - the ≥-threshold count and max compare qa/1e6 — the identical
+      correctly-rounded double Spark's round(double, 6) returns."""
+    n, dim = Q.shape
+    lim = int(np.sqrt(2.0**53 / dim))
+    if n and np.abs(Q).max() > lim:
+        raise ValueError(
+            f"quantized component exceeds the exact-float64 bound {lim} "
+            "(quantized() domain contract)"
+        )
+    Qf = Q.astype(np.float64)
+    nq = (Qf * Qf).sum(axis=1)
+    norms = np.sqrt(nq)
+    n_dup = np.zeros(n, dtype=np.int64)
+    qa_max = np.full(n, -1, dtype=np.int64)
+    if n < 2:
+        return n_dup, qa_max
+    blk = max(1, (1 << 22) // n)
+    for s in range(1, n, blk):
+        e = min(s + blk, n)
+        cos = (Qf[s:e] @ Qf.T) / (norms[s:e, None] * norms[None, :])
+        y = cos * 1e6 + 0.5
+        qa = np.floor(y).astype(np.int64)
+        amb = np.abs(y - np.round(y)) < 1e-6
+        if amb.any():
+            for i, j in zip(*np.nonzero(amb)):
+                qa[i, j] = int(_round6(cos[i, j]) * 1_000_000)
+        lower = np.arange(n)[None, :] < np.arange(s, e)[:, None]
+        r = qa / 1e6  # exact: the same correctly-rounded double as JVM
+        hit = lower & (r >= threshold)
+        n_dup[s:e] = hit.sum(axis=1)
+        # every row i >= 1 has i lower-id mates (rows are id-sorted), so
+        # the masked max is always a real qa; legit qa ∈ [-1e6, 1e6] so
+        # the mask constant can never be selected.  Row 0 keeps the
+        # sentinel and is emitted as NULL by the caller.
+        qa_max[s:e] = np.where(lower, qa, np.int64(-(10**9))).max(axis=1)
+    return n_dup, qa_max
+
+
 def semantic_dedup_stats(
     df: DataFrame,
     n_cells: int = 16,
@@ -1127,6 +1269,7 @@ def semantic_dedup_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: "np.ndarray | None" = None,
+    arrow_pairwise: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -1155,6 +1298,60 @@ def semantic_dedup_stats(
     clustering-compatible per-id aggregate.  No cartesian product, no
     Python."""
     asg = ivf_cell_assignments(df, n_cells, id_col, vec_col, codebook)
+    if arrow_pairwise:
+        # PRODUCTION pairwise (r9): ONE hash exchange of (id, cell_id,
+        # q) — 20-ish bytes + one vector per MEMBER — into a grouped
+        # Arrow kernel that runs the within-cell O(n_c²) scoring as a
+        # blocked matrix product, instead of materializing O(n_c²) JOIN
+        # rows each carrying both 64-long vectors (the r8 plan moved
+        # ~1 KB per pair through the join; the kernel moves each vector
+        # once).  Bit-identical outputs by the _semdedup_pairs_np parity
+        # argument, pinned against the JVM twin (arrow_pairwise=False)
+        # and the DuckDB oracle.  A degenerate giant cell is inherent
+        # O(n_c²) work in either shape; the kernel at least streams it
+        # in bounded row blocks (the JVM join shape needed AQE to split
+        # the same volume).
+        import pandas as pd
+
+        def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            n = len(pdf)
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids_s = ids[order]
+            Q = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+            )[order]
+            n_dup, qa_max = _semdedup_pairs_np(Q, threshold)
+            return pd.DataFrame(
+                {
+                    "id": ids_s,
+                    "cell_id": pdf["cell_id"].to_numpy(dtype=np.int64)[:n],
+                    "n_dup_neighbors": n_dup,
+                    "max_cos_lower": [
+                        None if i == 0 else qa_max[i] / 1e6 for i in range(n)
+                    ],
+                    "is_dup": n_dup > 0,
+                }
+            )
+
+        out = (
+            asg.select("id", "cell_id", "q")
+            .groupBy("cell_id")
+            .applyInPandas(
+                kernel,
+                schema=(
+                    "id bigint, cell_id bigint, n_dup_neighbors bigint, "
+                    "max_cos_lower double, is_dup boolean"
+                ),
+            )
+        )
+        return out.select(
+            F.col("id").alias(id_col),
+            "cell_id",
+            "n_dup_neighbors",
+            "max_cos_lower",
+            "is_dup",
+        )
     a = asg.select(
         F.col("cell_id"),
         F.col("id").alias("id_a"),
@@ -1162,44 +1359,42 @@ def semantic_dedup_stats(
         F.col("nq").alias("na"),
     )
     b = asg.select(
-        F.col("cell_id"),
+        F.col("cell_id").alias("cell_b"),
         F.col("id").alias("id_b"),
         F.col("q").alias("qb"),
         F.col("nq").alias("nb"),
     )
-    pairs = (
-        a.join(b, "cell_id")
-        .where(F.col("id_b") < F.col("id_a"))
-        .select(
-            "id_a",
-            F.round(
-                cosine_qn(
-                    F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            ).alias("cos"),
-        )
+    # ONE left join replaces the r8 inner-join + rejoin shape (which
+    # evaluated the assignment pipeline a THIRD time just to reattach
+    # vectors with no lower-id mate): every id_a survives the left join
+    # — unmatched rows carry NULL cos, which the aggregate counts as
+    # zero neighbors / NULL max, exactly what the rejoin produced.
+    # Values are bit-identical: same pair set, same rounded cosines.
+    pairs = a.join(
+        b,
+        (F.col("cell_id") == F.col("cell_b")) & (F.col("id_b") < F.col("id_a")),
+        "left",
+    ).select(
+        "id_a",
+        "cell_id",
+        F.round(
+            cosine_qn(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")),
+            6,
+        ).alias("cos"),
     )
-    per_id = pairs.groupBy("id_a").agg(
-        F.sum(
-            (F.col("cos") >= F.lit(threshold)).cast("long")
+    per_id = pairs.groupBy("id_a", "cell_id").agg(
+        F.coalesce(
+            F.sum((F.col("cos") >= F.lit(threshold)).cast("long")),
+            F.lit(0).cast("long"),
         ).alias("n_dup_neighbors"),
         F.max("cos").alias("max_cos_lower"),
     )
-    return (
-        asg.select("id", "cell_id")
-        .join(per_id, asg["id"] == per_id["id_a"], "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cell_id",
-            F.coalesce(F.col("n_dup_neighbors"), F.lit(0)).alias(
-                "n_dup_neighbors"
-            ),
-            "max_cos_lower",
-            (F.coalesce(F.col("n_dup_neighbors"), F.lit(0)) > 0).alias(
-                "is_dup"
-            ),
-        )
+    return per_id.select(
+        F.col("id_a").alias(id_col),
+        "cell_id",
+        "n_dup_neighbors",
+        "max_cos_lower",
+        (F.col("n_dup_neighbors") > 0).alias("is_dup"),
     )
 
 
