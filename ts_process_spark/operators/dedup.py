@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ts_process_spark.operators.textstats import tokens
+from ts_process_spark.operators.textstats import _ensure_parallelism, tokens
 
 def hash60(col: Column) -> Column:
     """60-bit integer from the first 15 hex chars of md5(col).
@@ -38,23 +38,9 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
-    """Spread a too-few-partition input across the cluster before a
-    compute-heavy stage.  At real scale the scan already has thousands of
-    splits and this is a no-op; on small single-file test inputs it stops
-    a 64-hash explode+aggregate from running on one core.
-
-    With ``keys``, the spread is HASH partitioning on those columns, so
-    a downstream groupBy(keys) sees its clustering requirement already
-    satisfied and skips its own exchange — on the test shapes this turns
-    the signature pipelines into single-shuffle plans (when the operator
-    no-ops at scale, the groupBy keeps its normal partial-agg exchange)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        if keys:
-            return df.repartition(target, *[F.col(k) for k in keys])
-        return df.repartition(target)
-    return df
+# _ensure_parallelism lives in textstats (bottom of the operator import
+# graph) since r9; imported above and re-exported here for existing
+# callers (operators.similarity, tools/).
 
 
 # ---------------------------------------------------------------- exact
@@ -788,8 +774,18 @@ def span_windows(
     idx = F.when(
         n >= k, F.sequence(F.lit(0), F.floor((n - k) / stride).cast("int"))
     )
+    # r9: spread (id, text) rows round-robin BEFORE the explode+hash —
+    # the window hashing fuses into whichever stage computes the
+    # generate, and a single-row-group parquet scan pins that to one
+    # task; post-spread it runs at full parallelism.  (The old spread in
+    # duplicated_span_stats sat AFTER span_windows, which only spread
+    # the downstream CONSUMERS of the already-hashed rows.)  No-op at
+    # real scale, the _ensure_parallelism contract.
+    src = _ensure_parallelism(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
+    )
     return (
-        df.select(
+        src.select(
             F.col(id_col).alias("id"),
             t.alias("t"),
             n.cast("long").alias("n_chars"),
@@ -851,15 +847,15 @@ def duplicated_span_stats(
     clustering-satisfied groupBy — no separate ``tot`` aggregate, no
     second consumer scan); (5) the per-doc sort is bounded by
     len/stride rows.  No collect, no Python, no all-pairs."""
-    w = span_windows(df, text_col, id_col, k, stride, hash_mode)
-    # Spread ROUND-ROBIN, never hash-on-h: an explicit h-partitioning
-    # here would ship RAW window rows keyed by content hash — the exact
+    # Parallelism comes from span_windows' own round-robin spread of the
+    # (id, text) rows BEFORE the explode+hash (r9 — the old post-explode
+    # spread here parallelized only the consumers of already-hashed
+    # rows).  Round-robin, never hash-on-h: an explicit h-partitioning
+    # would ship RAW window rows keyed by content hash — the exact
     # hot-gram pile-up this operator is hardened against — and would
     # also sit BELOW the occurrence count's partial aggregate, defeating
-    # its map-side combine.  Round-robin keeps every partition's gram
-    # mix uniform; the groupBy pays one tiny post-combine exchange
-    # (≤ one row per (task, h)) instead.
-    w = _ensure_parallelism(w)
+    # its map-side combine.
+    w = span_windows(df, text_col, id_col, k, stride, hash_mode)
     dup = (
         w.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -966,24 +962,31 @@ def token_ngram_hashes(
     are long and n is large, so the simple codegen form is kept."""
     if n <= 0:
         raise ValueError("n must be positive")
-    toks = tokens(F.col(text_col))
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    # r9 restructure (the 26s->1s fix at sf1.0): tokenization MUST be
+    # materialized in its own projection BELOW the generate.  The
+    # previous form put toks.alias(...) in the same select as the
+    # explode, and ExtractGenerator moves non-generator expressions
+    # ABOVE the Generate node — so split()+filter() re-ran once per
+    # n-gram row (~n_tokens times per doc) instead of once per doc.
+    # The input is also spread BEFORE the heavy stage: the round-robin
+    # exchange ships one small (id, text) row per doc and the explode +
+    # hash run at full parallelism post-shuffle (a single-row-group
+    # parquet file otherwise pins the whole stage to one task; no-op at
+    # real scale, the _ensure_parallelism contract).
+    src = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
     )
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            toks.alias("toks"),
-            F.explode(idx).alias("pos"),
-        )
-        .select(
-            "id",
-            F.col("pos").cast("long").alias("pos"),
-            _span_hash(
-                F.array_join(F.slice(F.col("toks"), F.col("pos"), n), " "),
-                hash_mode,
-            ).alias("h"),
-        )
+    tok = src.select("id", tokens(F.col(text_col)).alias("toks"))
+    idx = F.when(
+        F.size("toks") >= n, F.sequence(F.lit(1), F.size("toks") - n + 1)
+    )
+    return tok.select("id", "toks", F.explode(idx).alias("pos")).select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        _span_hash(
+            F.array_join(F.slice(F.col("toks"), F.col("pos"), n), " "),
+            hash_mode,
+        ).alias("h"),
     )
 
 
@@ -1023,24 +1026,31 @@ def decontaminate_stats(
     if broadcast_benchmark:
         bench = F.broadcast(bench)
     grams = token_ngram_hashes(corpus, text_col, id_col, n, hash_mode)
+    # r9: n_ngrams is ANALYTIC — a doc with t >= n tokens yields exactly
+    # t-n+1 gram rows, so it derives from n_tokens on the base side and
+    # the gram stream only needs to count HITS.  The probe becomes an
+    # inner (still broadcast) join: the ~99.9% of corpus grams with no
+    # benchmark match die at the hash probe instead of flowing into the
+    # per-doc aggregate.  The base pass is spread like the gram pass
+    # (single-row-group inputs otherwise tokenize on one task).
     counts = (
-        grams.join(bench, "h", "left")
+        grams.join(bench, "h", "inner")
         .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("long")).alias(
-                "n_contaminated"
-            ),
-        )
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    base = corpus.select(
-        F.col(id_col).alias("id"),
+    base = _ensure_parallelism(
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    n_ngrams = F.when(
+        F.col("n_tokens") >= n, F.col("n_tokens") - F.lit(n - 1)
+    ).otherwise(F.lit(0)).cast("long")
     return base.join(counts, "id", "left").select(
         F.col("id").alias(id_col),
         "n_tokens",
-        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        n_ngrams.alias("n_ngrams"),
         F.coalesce(F.col("n_contaminated"), F.lit(0)).alias(
             "n_contaminated"
         ),

@@ -29,6 +29,28 @@ STOPWORDS = {
 WHITESPACE_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
+def _ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a too-few-partition input across the cluster before a
+    compute-heavy stage.  At real scale the scan already has thousands
+    of splits and this is a no-op; on small single-row-group test
+    inputs it stops a tokenize/explode/hash stage from running on one
+    core (a parquet row group is unsplittable, so byte-range splits
+    cannot parallelize it).
+
+    With ``keys``, the spread is HASH partitioning on those columns, so
+    a downstream groupBy(keys) sees its clustering requirement already
+    satisfied and skips its own exchange.  Without keys it is
+    round-robin.  Lives here (the bottom of the operator import graph)
+    so dedup/similarity/textstats can all use it; dedup re-exports it
+    for backward compatibility."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
+        return df.repartition(target)
+    return df
+
+
 def _token_chars(toks: Column) -> Column:
     """Total characters across tokens — int64 fold, shared by
     with_token_stats and gopher_quality_flags (one copy on purpose)."""
@@ -56,7 +78,8 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``len()``/``list_aggregate 'sum'`` are BIGINT-kind)."""
     toks = tokens(F.col(text_col))
     return (
-        df.withColumn("_toks", toks)
+        _ensure_parallelism(df)
+        .withColumn("_toks", toks)
         .withColumn("n_tokens", F.size("_toks").cast("long"))
         .withColumn(
             "n_unique_tokens", F.size(F.array_distinct("_toks")).cast("long")
@@ -183,18 +206,31 @@ def bm25_scores(
     Output: (id, doc_len, tf_0..tf_{T-1}, bm25)."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = tokens(F.col(text_col))
 
     def _tf(term: str) -> Column:
         # closure factory, NOT a default arg: a 2-param lambda would be
         # interpreted by Spark as (element, index) and bind the term to
         # the array-index column
-        return F.size(F.filter(toks, lambda w: w == F.lit(term))).cast("long")
+        return F.size(
+            F.filter(F.col("_toks"), lambda w: w == F.lit(term))
+        ).cast("long")
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(toks).cast("long").alias("doc_len"),
-        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    # r9: tokenize ONCE into a materialized column (the T+1 per-term
+    # expressions each re-ran split+filter on the raw text), behind the
+    # small-input spread (single-row-group scans otherwise run the
+    # whole projection on one core; no-op at scale).  The _toks
+    # projection survives because CollapseProject keeps non-cheap
+    # aliases referenced more than once.
+    base = (
+        _ensure_parallelism(
+            df.select(F.col(id_col).alias("id"), F.col(text_col))
+        )
+        .select("id", tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            "id",
+            F.size("_toks").cast("long").alias("doc_len"),
+            *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+        )
     )
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"),
@@ -254,7 +290,12 @@ def tfidf_top_terms(
 
     Output: (id, terms array<string>, scores array<double|long>)."""
     toks = tokens(F.col(text_col))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("w"))
+    # r9: spread before the explode — the generator argument is
+    # evaluated in the scan stage, which a single-row-group input pins
+    # to one task (no-op at real scale)
+    ex = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select("id", F.explode(toks).alias("w"))
     tf = ex.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
     # N as a broadcast 1-row aggregate — query construction stays
     # action-free (the queries_ts.py:52 contract), and N counts ALL
@@ -399,8 +440,24 @@ def gopher_quality_flags(
     fraction; ellipsis-terminated-line fraction; fraction of words
     containing an alphabetic character; English stopword hits;
     duplicate-line fraction."""
-    toks = tokens(F.col(text_col))
     txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty doc
+    # r9: tokenize and line-split ONCE into materialized columns — the
+    # rule expressions each re-derived tokens()/split() from the raw
+    # text (≈8 tokenizations per row, all CodegenFallback HOFs) — and
+    # spread small inputs first so the projection is not pinned to the
+    # scan's single task (no-op at real scale).  CollapseProject keeps
+    # the multi-referenced non-cheap aliases, so _toks/_lines compute
+    # once per row.  Every rule below is the IDENTICAL expression over
+    # the materialized arrays — same flags, bit for bit.
+    pre = (
+        _ensure_parallelism(df)
+        .withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn(
+            "_lines", F.filter(F.split(txt, "\n"), lambda ln: F.trim(ln) != "")
+        )
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
     n_tokens = F.size(toks).cast("long")
     token_chars = _token_chars(toks)
     mean_wl = F.when(n_tokens > 0, token_chars / n_tokens).otherwise(F.lit(0.0))
@@ -409,9 +466,6 @@ def gopher_quality_flags(
         - F.length(F.regexp_replace(txt, r"[#…]", ""))
         + F.lit(3) * (F.size(F.split(txt, r"\.\.\.", -1)) - 1)
     ).cast("long")
-    lines = F.filter(
-        F.split(txt, "\n"), lambda ln: F.trim(ln) != ""
-    )
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(
         F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
@@ -425,9 +479,12 @@ def gopher_quality_flags(
     n_dist_lines = F.size(
         F.array_distinct(F.transform(lines, F.trim))
     ).cast("long")
-    sw = stopword_count(F.col(text_col), "en")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    sw = F.size(
+        F.filter(toks, lambda w: F.array_contains(stops, F.lower(w)))
+    ).cast("long")
     out = (
-        df.withColumn("n_tokens", n_tokens)
+        pre.withColumn("n_tokens", n_tokens)
         .withColumn("mean_word_len", mean_wl)
         .withColumn(
             "ok_token_count",
@@ -474,7 +531,7 @@ def gopher_quality_flags(
     allok = F.col(rules[0])
     for r in rules[1:]:
         allok = allok & F.col(r)
-    return out.withColumn("gopher_pass", allok)
+    return out.withColumn("gopher_pass", allok).drop("_toks", "_lines")
 
 
 # --------------------------------------------------- PII detect / redact
@@ -629,8 +686,11 @@ def hashed_count_features(
         feat = F.pmod(F.xxhash64(F.col("_w")), F.lit(n_features))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    # r9: spread before the explode+hash (single-row-group inputs pin
+    # the scan stage to one task; no-op at real scale)
     return (
-        df.select(*id_cols, F.explode(tokens(F.col(text_col))).alias("_w"))
+        _ensure_parallelism(df.select(*id_cols, F.col(text_col)))
+        .select(*id_cols, F.explode(tokens(F.col(text_col))).alias("_w"))
         .select(*id_cols, feat.alias("feature"))
         .groupBy(*id_cols, "feature")
         .agg(F.count(F.lit(1)).alias("x"))
