@@ -292,9 +292,13 @@ def tfidf_top_terms(
     toks = tokens(F.col(text_col))
     # r9: spread before the explode — the generator argument is
     # evaluated in the scan stage, which a single-row-group input pins
-    # to one task (no-op at real scale)
+    # to one task — and spread KEYED BY id: hash(id) partitioning
+    # satisfies the clustering of BOTH the (id, w) tf aggregate and the
+    # final per-doc top-k aggregate, so neither pays its own exchange
+    # (two token-volume shuffles removed at bench scale; no-op at real
+    # scale where the partial+final plan returns)
     ex = _ensure_parallelism(
-        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     ).select("id", F.explode(toks).alias("w"))
     tf = ex.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
     # N as a broadcast 1-row aggregate — query construction stays
@@ -666,6 +670,7 @@ def hashed_count_features(
     id_cols: list[str],
     text_col: str = "text",
     hash_mode: str = "xxhash64",
+    spread_by_ids: bool = False,
 ) -> DataFrame:
     """Hashing-trick token-count features: one row per (*id_cols,
     feature) with its int64 count.  feature = hash(token) mod
@@ -687,10 +692,18 @@ def hashed_count_features(
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     # r9: spread before the explode+hash (single-row-group inputs pin
-    # the scan stage to one task; no-op at real scale)
+    # the scan stage to one task; no-op at real scale).
+    # ``spread_by_ids=True`` hash-spreads on id_cols so the (ids,
+    # feature) aggregate's clustering is pre-satisfied (no
+    # token-volume exchange) — only for HIGH-CARDINALITY id_cols
+    # (per-doc scoring); a per-LABEL train pass must stay round-robin
+    # or the whole corpus lands on n_labels partitions.
+    src = _ensure_parallelism(
+        df.select(*id_cols, F.col(text_col)),
+        *(id_cols if spread_by_ids else []),
+    )
     return (
-        _ensure_parallelism(df.select(*id_cols, F.col(text_col)))
-        .select(*id_cols, F.explode(tokens(F.col(text_col))).alias("_w"))
+        src.select(*id_cols, F.explode(tokens(F.col(text_col))).alias("_w"))
         .select(*id_cols, feat.alias("feature"))
         .groupBy(*id_cols, "feature")
         .agg(F.count(F.lit(1)).alias("x"))
@@ -806,7 +819,8 @@ def centroid_classify(
     whose operand order matches the DuckDB oracle token-for-token."""
     labels, norms = clf["labels"], clf["norms"]
     x = hashed_count_features(
-        docs, clf["n_features"], [id_col], text_col, clf["hash_mode"]
+        docs, clf["n_features"], [id_col], text_col, clf["hash_mode"],
+        spread_by_ids=True,
     )
     joined = x.join(F.broadcast(clf["model"]), "feature", "left")
     per_doc = joined.groupBy(id_col).agg(

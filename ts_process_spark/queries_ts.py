@@ -45,6 +45,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ts_process_spark.operators.textstats import _ensure_parallelism
+
 R = 6  # float rounding for oracle hash stability
 
 # The events.parquet event_type domain is a fixed datagen contract
@@ -84,10 +86,28 @@ def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier on the events stream): count, sum, peak |value| (A1,
     rotd50.f:272-281), first/last event."""
     ev = _events(spark, sf_dir)
+    # r9: project the group keys, then hash-spread small inputs on them
+    # BEFORE the aggregate.  Buckets are ~1 event deep in this data
+    # model, so map-side partial aggregation combines nothing — it only
+    # serializes a ~full-cardinality hash-table build into the
+    # single-row-group scan task.  With the key spread the aggregate's
+    # clustering is already satisfied (one exchange either way) and the
+    # whole agg runs post-shuffle at full parallelism; at real scale the
+    # spread no-ops and the normal partial+final plan returns.  All
+    # aggregates are exact int64 / max — grouping split cannot change a
+    # value.
+    pre = _ensure_parallelism(
+        ev.select(
+            "user_id",
+            F.date_trunc("minute", "ts").alias("bucket"),
+            "value",
+            "event_id",
+        ),
+        "user_id",
+        "bucket",
+    )
     return (
-        ev.groupBy(
-            "user_id", F.date_trunc("minute", "ts").alias("bucket")
-        )
+        pre.groupBy("user_id", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(_cents(F.col("value"))).alias("sum_value_c"),
@@ -127,7 +147,17 @@ def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw directly per tier, so this checks cascade == direct for both
     retention tiers at once."""
     ev = _events(spark, sf_dir)
-    t1m = ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("bucket")).agg(
+    # r9: same sparse-bucket key spread as q_rollup_1m (the t1m subtree
+    # appears under both tier branches and is exchange-REUSED, so the
+    # spread is paid once)
+    pre = _ensure_parallelism(
+        ev.select(
+            "user_id", F.date_trunc("minute", "ts").alias("bucket"), "value"
+        ),
+        "user_id",
+        "bucket",
+    )
+    t1m = pre.groupBy("user_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_cents(F.col("value"))).alias("sum_value_c"),
         F.max(F.abs(F.col("value"))).alias("peak_abs_value"),
@@ -989,7 +1019,26 @@ def q_rotmax_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     median_by_type.  The oscillator-response half of RotD50 (an IIR
     recurrence) stays in the Arrow kernel, rows-only + pytest-pinned."""
     ev = _events(spark, sf_dir)
-    grid = ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("bucket")).agg(
+    # r9: sparse-bucket key spread for the grid aggregate (see
+    # q_rollup_1m), and the 36-azimuth scan UNPIVOTED into 36 max()
+    # aggregate columns instead of an explode: the rotation trig
+    # constant-folds per azimuth (radians/cos/sin of literals), the
+    # 36× row blowup and its (user, deg) exchange disappear, and the
+    # median is the same exact 18th order statistic over the same 36
+    # doubles — array_sort(array(p0..p175)) of the per-user maxima is
+    # value-identical to sorting the collected explode rows, and
+    # rotd100 = the 36th sorted element = max.
+    pre = _ensure_parallelism(
+        ev.select(
+            "user_id",
+            F.date_trunc("minute", "ts").alias("bucket"),
+            "value",
+            "event_id",
+        ),
+        "user_id",
+        "bucket",
+    )
+    grid = pre.groupBy("user_id", "bucket").agg(
         F.coalesce(
             F.sum(F.when(F.col("event_id") % 2 == 0, _cents(F.col("value")))),
             F.lit(0),
@@ -999,22 +1048,21 @@ def q_rotmax_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("h2_c"),
     )
-    ang = grid.select(
+    degs = list(range(0, 176, 5))
+
+    def _peak(deg: int) -> "F.Column":
+        theta = F.radians(F.lit(deg).cast("double"))
+        val = F.cos(theta) * F.col("h1_c") - F.sin(theta) * F.col("h2_c")
+        return F.max(F.abs(val)).alias(f"p{deg}")
+
+    peaks = grid.groupBy("user_id").agg(*[_peak(d) for d in degs])
+    arr = F.array_sort(F.array(*[F.col(f"p{d}") for d in degs]))
+    return peaks.select(
         "user_id",
-        "h1_c",
-        "h2_c",
-        F.explode(F.sequence(F.lit(0), F.lit(175), F.lit(5))).alias("deg"),
-    )
-    theta = F.radians(F.col("deg").cast("double"))
-    val = F.cos(theta) * F.col("h1_c") - F.sin(theta) * F.col("h2_c")
-    peaks = ang.groupBy("user_id", "deg").agg(
-        F.max(F.abs(val)).alias("peak")
-    )
-    return peaks.groupBy("user_id").agg(
-        (F.round(
-            F.element_at(F.array_sort(F.collect_list("peak")), 18), 4
-        ) + F.lit(0.0)).alias("rotd50_peak"),
-        (F.round(F.max("peak"), 4) + F.lit(0.0)).alias("rotd100_peak"),
+        (F.round(F.element_at(arr, 18), 4) + F.lit(0.0)).alias("rotd50_peak"),
+        (F.round(F.element_at(arr, len(degs)), 4) + F.lit(0.0)).alias(
+            "rotd100_peak"
+        ),
     )
 
 
