@@ -154,9 +154,29 @@ def minhash_signatures(
         df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
     )
     hfn = F.xxhash64 if hash_mode == "xxhash64" else hash60
-    sh = src.select(
-        "id", F.explode(shingles(F.col(text_col), k)).alias("sh")
-    ).select("id", hfn(F.col("sh")).alias("h"))
+    # r9: shingle via posexploded indices + codegen concat_ws(slice())
+    # instead of the shingles() transform HOF (CodegenFallback,
+    # interpreted per shingle — measured 6× slower at sf1.0).  Same
+    # multiset of shingle strings: full k-windows for docs with >= k
+    # tokens, ONE whole-doc shingle otherwise (slice(toks, 1, k) of a
+    # short array IS the whole array, so the single index 1 reproduces
+    # shingles()'s short-doc convention, including "" for empty docs).
+    # Tokenization is materialized below the generate (the
+    # token_ngram_hashes lesson: an expensive expression alongside an
+    # explode is moved ABOVE the Generate and re-run per row).
+    tok = src.select("id", tokens(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array(F.lit(1))
+    )
+    sh = (
+        tok.select("id", "toks", F.explode(idx).alias("i"))
+        .select(
+            "id",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), k)).alias("sh"),
+        )
+        .select("id", hfn(F.col("sh")).alias("h"))
+    )
     if hash_mode == "xxhash64":
         perm = lambda p: F.xxhash64(F.col("h"), F.lit(p))  # noqa: E731
     else:
