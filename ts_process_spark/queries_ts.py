@@ -718,6 +718,17 @@ def q_top3_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark): 3 highest-price lineitems per supplier.  Also the registry's
     ranking/argmax evidence (row_number pick, O-family)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # r9: key-spread small inputs before the window — the map-side
+    # WindowGroupLimit prune sorts the full table in the scan stage,
+    # which a single-row-group file pins to one task; hash(l_suppkey)
+    # pre-satisfies the window's distribution (one exchange either way)
+    # and the sort+rank run post-shuffle in parallel.  No-op at scale.
+    li = _ensure_parallelism(
+        li.select(
+            "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+        ),
+        "l_suppkey",
+    )
     w = Window.partitionBy("l_suppkey").orderBy(
         F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
@@ -1332,7 +1343,15 @@ def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade exercises linear gap-fill (rotd50.f:284-305 InterpTime
     semantics) under oracle check."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # r9: partition the turn-numbering window by the CASTED conv key —
+    # the same expression the downstream gap-fill/rollup windows key on
+    # — so the whole raw→1m chain shares ONE exchange (hash(user_id)
+    # does not satisfy clustering on cast(user_id as string); keying
+    # this window on the cast removed a second 1M-row exchange).  The
+    # cast is injective per user, so row numbering is unchanged.
+    w = Window.partitionBy(F.col("user_id").cast("string")).orderBy(
+        "ts", "event_id"
+    )
     return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
