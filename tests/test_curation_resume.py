@@ -129,3 +129,35 @@ def test_curation_rejects_missing_inputs(spark, paths, tmp_path):
             spark, corpus, str(tmp_path / "y"),
             CurationConfig(weights=None), benchmark_path=bench,
         )
+
+
+def test_curation_stale_stage_dir_reexecuted(spark, paths, tmp_path):
+    """ADVICE r8 (stale-skip window): a crashed run with a CHANGED
+    config can overwrite a stage dir without committing its lineage; a
+    later resume under the ORIGINAL config matches the old fingerprint
+    and must NOT serve the mismatched data.  The skip path re-verifies
+    the dir against the lineage record (rows + value hash) and
+    re-executes on mismatch."""
+    import shutil
+
+    corpus, bench = paths
+    root = str(tmp_path / "run")
+    ledger = StageLedger(root)
+    res0 = run_curation(spark, corpus, root, _cfg(), benchmark_path=bench)
+    assert res0["committed"] == list(CURATION_STAGE_ORDER)
+
+    # simulate the crash window: the 'quality' stage dir now holds data
+    # from a DIFFERENT config (here: a prefix of the corpus), while its
+    # committed lineage row still matches the original fingerprint
+    qdir = ledger.stage_dir("quality")
+    shutil.rmtree(qdir)
+    spark.read.parquet(corpus).limit(7).write.parquet(qdir)
+
+    res = run_curation(spark, corpus, root, _cfg(), benchmark_path=bench)
+    # upstream stages verify clean and stay skipped; the aliased stage
+    # is re-executed (and downstream stages, re-verified against their
+    # own records, stay skipped — deterministic stages reproduce the
+    # identical output)
+    assert "quality" in res["committed"]
+    assert res["skipped"][:2] == ["exact", "neardup"]
+    assert _final(spark, res) == _final(spark, res0)

@@ -51,6 +51,15 @@ def encode_avi(
             raise ValueError("all frames must share one geometry")
         if fr.ndim == 2:
             fr = np.stack([fr] * 3, axis=-1)
+        if fr.ndim != 3 or fr.shape[2] != 3:
+            # reject RGBA/odd channel counts at ENCODE time: serializing
+            # 4 bytes/pixel against the declared 24-bit stride produces
+            # a file that only fails later at decode with a confusing
+            # geometry error (ADVICE r8)
+            raise ValueError(
+                f"frames must be HxW (grayscale) or HxWx3 (RGB), got "
+                f"shape {fr.shape}"
+            )
         img = fr[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
         pad = stride - w * 3
         frame_bytes.append(
@@ -151,7 +160,11 @@ def parse_avi(payload: bytes) -> dict:
                     if sv[0] != b"vids" or "fps_num" in meta:
                         continue
                     meta.update(
-                        codec=sv[1].decode("ascii", "replace").strip(),
+                        # strip NULs too: real-world uncompressed AVIs
+                        # commonly carry a NUL-padded fccHandler
+                        # (b'\\x00\\x00\\x00\\x00'), which plain strip()
+                        # leaves in place (ADVICE r8)
+                        codec=sv[1].decode("ascii", "replace").strip(" \x00"),
                         fps_den=sv[6], fps_num=sv[7],
                     )
         break

@@ -388,8 +388,12 @@ def pack_documents(
         shard_hash = hash60(F.col("id").cast("string"))
     else:  # a typo must not silently re-shard the corpus (review r6)
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    base = df.select(
-        F.col(id_col).alias("id"),
+    # r9: spread before the tokenizing projection (single-row-group
+    # inputs pin it to one task; no-op at real scale)
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id",
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     ).withColumn("shard", F.pmod(shard_hash, F.lit(n_shards)).cast("int"))
     # ROWS frame explicitly (review r5): the default RANGE frame makes

@@ -220,11 +220,26 @@ def run_curation(
         rec = committed_recs.get(name)
         out_dir = ledger.stage_dir(name)
         if rec is not None and rec["fingerprint"] == fp:
-            result["skipped"].append(name)
-            result["counts"][name] = rec["rows"]
-            d, prev_path = None, out_dir
-            result["final_path"] = out_dir
-            continue
+            # ADVICE r8 (stale-skip window): a run with a CHANGED config
+            # that crashes after overwriting this stage's parquet but
+            # before its lineage append leaves data that ALIASES the old
+            # committed fingerprint.  Re-verify the stage dir against
+            # the lineage record before trusting it; on any mismatch
+            # (or unreadable dir) fall through and re-execute the stage
+            # — deterministic stages reproduce byte-identical output, so
+            # downstream committed records stay valid.
+            try:
+                out = spark.read.parquet(out_dir)
+                rows, vhash = count_and_hash(out, sorted(out.columns))
+                fresh = rows == rec["rows"] and vhash == rec["value_hash"]
+            except Exception:
+                fresh = False
+            if fresh:
+                result["skipped"].append(name)
+                result["counts"][name] = rec["rows"]
+                d, prev_path = None, out_dir
+                result["final_path"] = out_dir
+                continue
         if d is None:
             d = spark.read.parquet(prev_path)
             missing = set(base_cols) - set(d.columns)

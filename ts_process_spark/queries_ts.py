@@ -1104,6 +1104,38 @@ FROM peaks GROUP BY user_id
 # ----------------------------------------- oracle-checked streaming tier
 
 
+def _stream_src_dir(src: str, tag: str) -> str:
+    """Deterministic per-(source, query) symlink dir for the static-file
+    streaming queries — replaces per-invocation mkdtemp, which leaked
+    one directory per gate/bench run (ADVICE r8).  Idempotent: the same
+    source re-resolves to the same dir and the symlink is only created
+    once."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"ts_stream_{tag}_{digest}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+    return d
+
+
+def _fresh_memory_sink_name(spark: SparkSession, tag: str, src: str) -> str:
+    """Deterministic memory-sink table name, dropping any previous
+    invocation's table first — repeated gate/bench runs no longer
+    accumulate session-lifetime in-memory tables (ADVICE r8)."""
+    import hashlib
+    import os
+
+    digest = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    name = f"q{tag}_{digest}"
+    spark.catalog.dropTempView(name)
+    return name
+
+
 def q_streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming raw→1m over the events table (10-minute
     watermark, tumbling 1-minute windows, append mode, driven to
@@ -1112,14 +1144,9 @@ def q_streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle applies exactly that cutoff, so even the streaming
     path is value-checked."""
     import os
-    import tempfile
-    import uuid
 
     src = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="stream_events_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(src), link)
+    d = _stream_src_dir(src, "1m")
     schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.schema(schema)
@@ -1136,7 +1163,7 @@ def q_streaming_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.abs(F.col("value"))).alias("peak_abs_value"),
         )
     )
-    name = "q1m_" + uuid.uuid4().hex[:8]
+    name = _fresh_memory_sink_name(spark, "1m", src)
     q = (
         agg.writeStream.outputMode("append")
         .format("memory")
@@ -1189,16 +1216,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_rollup_1m, which covers the built-in windowed-agg class;
     this covers the custom-state class)."""
     import os
-    import tempfile
-    import uuid
 
     from ts_process_spark.streaming.ingest import stream_sessionize
 
     src = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="stream_sess_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(src), link)
+    d = _stream_src_dir(src, "sess")
     schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.schema(schema)
@@ -1211,7 +1233,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("props"), F.lit("")).alias("text"),
     )
     sess = stream_sessionize(turns, gap_s=1800)
-    name = "qsess_" + uuid.uuid4().hex[:8]
+    name = _fresh_memory_sink_name(spark, "sess", src)
     q = (
         sess.writeStream.outputMode("append")
         .format("memory")
@@ -1291,16 +1313,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from state) is pinned separately by pytest
     (tests/test_streaming.py)."""
     import os
-    import tempfile
-    import uuid
 
     from ts_process_spark.streaming.ingest import stream_exact_dedup
 
     src = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="stream_dedup_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(src), link)
+    d = _stream_src_dir(src, "dedup")
     schema = spark.read.parquet(src).schema
     raw = (
         spark.readStream.schema(schema)
@@ -1313,7 +1330,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("props"), F.lit("")).alias("text"),
     )
     kept = stream_exact_dedup(turns, watermark="3650 days")
-    name = "qdedup_" + uuid.uuid4().hex[:8]
+    name = _fresh_memory_sink_name(spark, "dedup", src)
     q = (
         kept.writeStream.outputMode("append")
         .format("memory")
