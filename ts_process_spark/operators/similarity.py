@@ -33,17 +33,16 @@ def quantized(col: Column) -> Column:
     (the fixture and any cosine use case) sit orders of magnitude below
     the bound; Spark's int64 fold itself is exact far beyond it.
 
-    r9: for the engine-wide EMB_DIM width the per-element transform —
-    a CodegenFallback HOF interpreted per element, ~1.3M lambda evals
-    per 20k-vector pass — unrolls into a codegen array constructor of
-    the IDENTICAL per-element expression (same round, same casts, so
-    the same longs).  Other widths take the HOF form via the size
-    guard.  ``col`` is always a scan/join attribute at the call sites,
-    so the 64 references are cheap."""
-    per_el = lambda x: F.round(x.cast("double") * 1000000).cast("long")  # noqa: E731
-    fast = F.array(*[per_el(F.element_at(col, i)) for i in range(1, EMB_DIM + 1)])
-    return F.when(F.size(col) == EMB_DIM, fast).otherwise(
-        F.transform(col, per_el)
+    r9 note: an unrolled codegen variant (64 per-element round/cast
+    expressions behind a size guard) was measured and REVERTED — the
+    quantization expression is inlined into several plan sites per ANN
+    query tree, and the ~400-node unrolled form cost more in Catalyst
+    analysis/optimization per run than the interpreted HOF costs in
+    execution (sf0.1 emb_ivf_ann: 0.52 s with this HOF form vs 1.1 s
+    unrolled; sf1.0 within noise).  The per-PAIR dot stays unrolled
+    (dot_long_fast) — that one runs O(pairs) times, this one O(n)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
     )
 
 
