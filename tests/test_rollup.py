@@ -342,3 +342,68 @@ def test_blob_chunks_dropped_counts_leaf_units(spark):
     d = t1d.collect()[0]
     assert d["blob_chunks_dropped"] == 60  # leaf units, not "1 child"
     assert d["blob_n_chunks"] == 120  # kept payload, leaf units
+
+
+def test_concat_blobs_expr_matches_python_form(spark, raw_df):
+    """r9: the cascade's container blobs are built by pure-JVM
+    expression (_concat_blobs_expr); pin them byte-equal to the scalar
+    codecs.concat_blobs reference for BOTH structural shapes — leaf
+    children (1m→1h: header lens synthesized from the map-side ltb/lvb
+    bytes) and container children (1h→1d: lens/body copied by
+    byte-slicing, flattening exactly like the Python form) — plus the
+    max_blob_bytes branch down to the empty-kept edge."""
+    from ts_process_spark.functions.codecs import concat_blobs
+    from ts_process_spark.operators.rollup import rollup_cascade
+
+    t1m = rollup_raw_to_1m(raw_df)
+    t1h = rollup_cascade(t1m, "1h")
+
+    def expected(child_df, tier, **kw):
+        # reference: python concat_blobs over the child blobs collected
+        # in bucket order, grouped by the parent bucket
+        trunc = {"1h": "hour", "1d": "day"}[tier]
+        rows = (
+            child_df.select(
+                "conv_id",
+                F.date_trunc(trunc, "bucket_ts").alias("pb"),
+                "bucket_ts",
+                "ts_blob",
+                "val_blob",
+            )
+            .orderBy("conv_id", "bucket_ts")
+            .collect()
+        )
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault((r["conv_id"], r["pb"]), []).append(
+                (bytes(r["ts_blob"]), bytes(r["val_blob"]))
+            )
+        cap = kw.get("max_blob_bytes")
+        out = {}
+        for k, blobs in groups.items():
+            if cap is not None:
+                kept, tot = [], 0
+                for tb, vb in blobs:
+                    tot += len(tb) + len(vb)
+                    if tot <= cap:
+                        kept.append((tb, vb))
+                blobs = kept
+            out[k] = (
+                concat_blobs([b[0] for b in blobs]),
+                concat_blobs([b[1] for b in blobs]),
+            )
+        return out
+
+    for child, tier in ((t1m, "1h"), (t1h, "1d")):
+        for kw in ({}, {"max_blob_bytes": 0}, {"max_blob_bytes": 900}):
+            got = {
+                (r["conv_id"], r["bucket_ts"]): (
+                    bytes(r["ts_blob"]),
+                    bytes(r["val_blob"]),
+                )
+                for r in rollup_cascade(child, tier, **kw).collect()
+            }
+            exp = expected(child, tier, **kw)
+            assert set(got) == set(exp)
+            bad = [k for k in got if got[k] != exp[k]]
+            assert not bad, (tier, kw, bad[:3])

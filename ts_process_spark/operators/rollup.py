@@ -36,8 +36,11 @@ Execution shape (what survives a 1000-executor, 10^12-turn run):
   spreads over its minutes).  For the coarser tiers the group is
   (conv, hour|day) of *1m rows* (≤60/24 children), inherently bounded.
 - All aggregates are JVM/codegen (`F.sum/max/min/xxhash64`); the only
-  Arrow UDF is the per-bucket blob codec — a scalar pandas_udf over
-  pre-grouped arrays, vectorized NumPy inside, zero per-row Python.
+  Arrow UDFs are the per-bucket blob ENCODERS at the 1m tier (scalar
+  pandas_udfs over pre-grouped arrays, vectorized NumPy inside, zero
+  per-row Python).  The coarser tiers are pure JVM end to end: the
+  container concat is built by expression (_concat_blobs_expr) — r9
+  measured the Python eval node itself at ~40% of the 1h/1d tier jobs.
 """
 
 from __future__ import annotations
@@ -110,8 +113,85 @@ def _encode_gorilla_udf(val_arrays: pd.Series) -> pd.Series:
 def _concat_blobs_udf(blob_arrays: pd.Series) -> pd.Series:
     # cascade = pure byte-level chunk concatenation (no decode/re-encode;
     # the Gorilla-deployment immutable-chunk pattern) — see
-    # codecs.concat_blobs; decode_* reads containers transparently
+    # codecs.concat_blobs; decode_* reads containers transparently.
+    # r9: no longer on the cascade path (replaced by the pure-JVM
+    # _concat_blobs_expr below — the Python eval node itself was ~40% of
+    # the 1h/1d tier jobs, and an arrow_udf twin measured the same, so
+    # the boundary, not per-row Python, was the cost); kept as the
+    # reference form tests pin _concat_blobs_expr against.
     return blob_arrays.map(lambda blobs: concat_blobs(list(blobs)))
+
+
+_SENTINEL_LE = b"\xff\xff\xff\xff"  # struct.pack('<I', codecs._CHUNK_SENTINEL)
+
+
+def _le4(x) -> F.Column:
+    """Little-endian uint32 bytes of a non-negative int column —
+    byte-identical to ``struct.pack('<I', x)`` for x < 2^31 (all chunk
+    counts/lengths here).  hex() of the int, zero-padded to 8 nibbles,
+    decoded big-endian, then byte-reversed — every step a codegen
+    built-in (guide §4.1), no Python."""
+    be = F.to_binary(F.lpad(F.hex(x), 8, "0"), F.lit("hex"))
+    return F.concat(*[F.substring(be, i, 1) for i in (4, 3, 2, 1)])
+
+
+def _concat_blobs_expr(children, field: str, container: bool) -> F.Column:
+    """JVM twin of ``codecs.concat_blobs`` over the cascade's collected
+    child array — emits the identical ``[0xFFFFFFFF:u32][n_chunks:u32]
+    [len_i:u32]*[chunk bytes]`` container, flattening child containers
+    exactly as the Python form does, without the blob bytes (or any
+    per-row work) ever crossing the JVM↔Python boundary.
+
+    ``children``: array<struct> in bucket order carrying ``field`` (the
+    blob) and ``n`` (the child's leaf-chunk count).  ``container`` is
+    the tier-structural fact concat_blobs discovers per blob from the
+    sentinel: a cascade child (has ``blob_n_chunks``) is ALWAYS a
+    container, a 1m child NEVER is (leaf blobs start with the bucket's
+    point count, which cannot be 0xFFFFFFFF).  For containers the
+    merged header's length table is the byte-level concatenation of the
+    children's length tables (substring(blob, 9, 4n) — no u32 decode
+    needed) and the body is the children's bodies (substring past the
+    8+4n header); for leaves it is the map-side-precomputed ``ltb`` /
+    ``lvb`` length bytes (see the collect_list struct) and the blob
+    itself.  Byte-parity with the Python form is pinned in
+    tests/test_rollup.py for both shapes plus the empty-array edge
+    (max_blob_bytes can empty ``kept``: header with zero chunks)."""
+    bcat = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(b""), lambda acc, x: F.concat(acc, x)
+    )
+    if container:
+        total_n = F.aggregate(
+            children, F.lit(0).cast("long"), lambda acc, c: acc + c["n"]
+        )
+        lens = bcat(
+            F.transform(
+                children,
+                lambda c: F.substring(
+                    c[field], F.lit(9), (c["n"] * 4).cast("int")
+                ),
+            )
+        )
+        body = bcat(
+            F.transform(
+                children,
+                lambda c: F.substring(
+                    c[field],
+                    (c["n"] * 4 + 9).cast("int"),
+                    F.length(c[field]),
+                ),
+            )
+        )
+    else:
+        # one chunk per leaf child; its 4 length bytes were precomputed
+        # map-side into the struct (see the collect_list above)
+        total_n = F.size(children).cast("long")
+        lens = bcat(
+            F.transform(children, lambda c: c["ltb" if field == "tb" else "lvb"])
+        )
+        body = bcat(F.transform(children, lambda c: c[field]))
+    return F.concat(
+        F.lit(_SENTINEL_LE), _le4(total_n.cast("int")), lens, body
+    )
 
 
 def _hash_fn(hash_name: str):
@@ -227,9 +307,10 @@ def rollup_cascade(
     child counters are already leaf-unit by induction."""
     hfn = _hash_fn(hash_name)
     trunc = TIERS[tier]
+    has_child_chunks = "blob_n_chunks" in child.columns
     child_n = (
         F.col("blob_n_chunks")
-        if "blob_n_chunks" in child.columns
+        if has_child_chunks
         else F.lit(1).cast("long")
     )
     grouped = child.groupBy(
@@ -251,6 +332,26 @@ def rollup_cascade(
                     F.col("ts_blob").alias("tb"),
                     F.col("val_blob").alias("vb"),
                     child_n.alias("n"),
+                    # leaf children: the container header's per-chunk
+                    # length entries, precomputed HERE — a plain codegen
+                    # projection per input row, map-side before the
+                    # exchange — because the same le4() inside an
+                    # interpreted post-aggregation HOF costs ~10µs per
+                    # element (measured: it alone matched the whole
+                    # Python-boundary cost it was meant to remove).
+                    # +8 bytes/child through the shuffle (§2.3: shuffle
+                    # metadata, not payloads).  Container children copy
+                    # their length tables by byte-slicing instead.
+                    # Appended LAST so array_sort ordering is untouched
+                    # (and both are functions of tb/vb anyway).
+                    *(
+                        []
+                        if has_child_chunks
+                        else [
+                            _le4(F.length("ts_blob")).alias("ltb"),
+                            _le4(F.length("val_blob")).alias("lvb"),
+                        ]
+                    ),
                 )
             )
         ).alias("children"),
@@ -323,8 +424,13 @@ def rollup_cascade(
                 _SEP, F.transform("children", lambda c: c["h"].cast("string"))
             )
         ).alias("text_hash"),
-        _concat_blobs_udf(F.transform(blob_src, lambda c: c["tb"])).alias("ts_blob"),
-        _concat_blobs_udf(F.transform(blob_src, lambda c: c["vb"])).alias(
+        # r9: JVM container build (see _concat_blobs_expr) — a child
+        # with blob_n_chunks is a cascade output, i.e. every blob is a
+        # container to flatten; a 1m child's blobs are all leaves
+        _concat_blobs_expr(blob_src, "tb", container=has_child_chunks).alias(
+            "ts_blob"
+        ),
+        _concat_blobs_expr(blob_src, "vb", container=has_child_chunks).alias(
             "val_blob"
         ),
         leaf_sum(blob_src).alias("blob_n_chunks"),
