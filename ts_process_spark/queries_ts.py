@@ -147,9 +147,7 @@ def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw directly per tier, so this checks cascade == direct for both
     retention tiers at once."""
     ev = _events(spark, sf_dir)
-    # r9: same sparse-bucket key spread as q_rollup_1m (the t1m subtree
-    # appears under both tier branches and is exchange-REUSED, so the
-    # spread is paid once)
+    # r9: same sparse-bucket key spread as q_rollup_1m
     pre = _ensure_parallelism(
         ev.select(
             "user_id", F.date_trunc("minute", "ts").alias("bucket"), "value"
@@ -162,26 +160,54 @@ def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("value"))).alias("sum_value_c"),
         F.max(F.abs(F.col("value"))).alias("peak_abs_value"),
     )
-
-    def tier(unit: str, tag: str) -> DataFrame:
-        return (
-            t1m.groupBy("user_id", F.date_trunc(unit, "bucket").alias("bucket"))
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value_c").alias("sum_value_c"),
-                F.round(F.max("peak_abs_value"), R).alias("peak_abs_value"),
+    # r9 (late): the earlier union-of-branches form planned the whole
+    # scan→spread→t1m subtree ONCE PER TIER — neither ReuseExchange nor
+    # AQE stage reuse deduplicated it (verified in the executed plan:
+    # two Scan+Exchange+HashAggregate chains, zero Reused nodes).
+    # Explode each 1m row into its (tier, truncated-bucket) pairs and
+    # re-aggregate once instead: one scan, one spread, one t1m
+    # aggregate, one (tier, user, bucket) exchange — 3 exchanges → 2
+    # and half the scan-side work.  Aggregates are identical per
+    # (tier, user, bucket) group (long sums / max — order-free), so the
+    # result multiset is unchanged (oracle + pandas twin re-verified).
+    tagged = t1m.select(
+        "user_id",
+        "n_events",
+        "sum_value_c",
+        "peak_abs_value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1h").alias("tier"),
+                    F.date_trunc("hour", "bucket").alias("b"),
+                ),
+                F.struct(
+                    F.lit("1d").alias("tier"),
+                    F.date_trunc("day", "bucket").alias("b"),
+                ),
             )
-            .select(
-                F.lit(tag).alias("tier"),
-                "user_id",
-                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
-                "n_events",
-                "sum_value_c",
-                "peak_abs_value",
-            )
+        ).alias("tb"),
+    )
+    return (
+        tagged.groupBy(
+            F.col("tb.tier").alias("tier"),
+            "user_id",
+            F.col("tb.b").alias("bucket"),
         )
-
-    return tier("hour", "1h").unionByName(tier("day", "1d"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_c").alias("sum_value_c"),
+            F.round(F.max("peak_abs_value"), R).alias("peak_abs_value"),
+        )
+        .select(
+            "tier",
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "n_events",
+            "sum_value_c",
+            "peak_abs_value",
+        )
+    )
 
 
 def _sql_tier(unit: str, tag: str) -> str:
