@@ -160,16 +160,19 @@ def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_cents(F.col("value"))).alias("sum_value_c"),
         F.max(F.abs(F.col("value"))).alias("peak_abs_value"),
     )
-    # r9 (late): the earlier union-of-branches form planned the whole
-    # scan→spread→t1m subtree ONCE PER TIER — neither ReuseExchange nor
-    # AQE stage reuse deduplicated it (verified in the executed plan:
-    # two Scan+Exchange+HashAggregate chains, zero Reused nodes).
+    # r9 (late): the earlier union-of-branches form planned the
+    # scan→spread→t1m subtree once per tier.  AQE's runtime stage reuse
+    # shares the scan+spread EXCHANGE stage between the branches (a
+    # probe on a real execution shows the ReusedQueryStage; the initial
+    # explain misleadingly prints two full chains), but everything ABOVE
+    # the exchange — the t1m final hash-aggregate over the full 1m
+    # cardinality — still ran once per tier, plus a third exchange.
     # Explode each 1m row into its (tier, truncated-bucket) pairs and
-    # re-aggregate once instead: one scan, one spread, one t1m
-    # aggregate, one (tier, user, bucket) exchange — 3 exchanges → 2
-    # and half the scan-side work.  Aggregates are identical per
-    # (tier, user, bucket) group (long sums / max — order-free), so the
-    # result multiset is unchanged (oracle + pandas twin re-verified).
+    # re-aggregate once instead: one t1m aggregate, 3 exchanges → 2.
+    # Aggregates are identical per (tier, user, bucket) group (long
+    # sums / max — order-free), so the result multiset is unchanged
+    # (oracle + pandas twin re-verified; interleaved A/B 0.59→0.50 s
+    # med at sf0.1, 1.02→0.91 at 10×).
     tagged = t1m.select(
         "user_id",
         "n_events",
